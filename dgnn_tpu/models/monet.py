@@ -1,0 +1,75 @@
+"""GMMConv (MoNet) layer and network (flax.linen).
+
+Semantics mirror the reference layer (dgNN/layers/gmmconv_layer.py) and MoNet
+(script/train/train_gmmconv.py:11-59): per-layer pseudo-coordinate projection
+Linear(2, dim) + tanh, Gaussian-mixture edge weighting fused with SpMM, sum
+over kernels.  Init: fc xavier-normal(relu gain), mu ~ N(0, 0.1),
+inv_sigma = 1 (gmmconv_layer.py:43-49).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..graph.structure import Graph
+from ..ops.gmm import gmm_aggregate
+from .gat import xavier_normal
+
+
+class GMMConv(nn.Module):
+    """Gaussian-mixture model convolution. Output: [N, out_feats]."""
+
+    out_feats: int
+    dim: int
+    n_kernels: int
+    residual: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, graph: Graph, feat, pseudo, *, training: bool = False):
+        k = self.n_kernels
+        f = self.out_feats
+        node_feat = nn.Dense(k * f, use_bias=False, kernel_init=xavier_normal(),
+                             name="fc")(feat)
+        node_feat = node_feat.reshape(-1, k, f)
+        mu = self.param("mu", nn.initializers.normal(0.1), (k, self.dim))
+        inv_sigma = self.param("inv_sigma", nn.initializers.ones, (k, self.dim))
+        rst = gmm_aggregate(graph, node_feat, pseudo, mu, inv_sigma)
+        rst = jnp.sum(rst, axis=1)  # sum over kernels (gmmconv_layer.py:58)
+        if self.residual:
+            if feat.shape[-1] != f:
+                res = nn.Dense(f, use_bias=False, kernel_init=xavier_normal(),
+                               name="res_fc")(feat)
+            else:
+                res = feat
+            rst = rst + res
+        if self.use_bias:
+            rst = rst + self.param("bias", nn.initializers.zeros, (f,))
+        return rst
+
+
+class MoNet(nn.Module):
+    """MoNet stack with per-layer pseudo projections and inter-layer dropout
+    (reference MoNet.forward, train_gmmconv.py:52-59)."""
+
+    n_hidden: int
+    out_feats: int
+    n_layers: int
+    dim: int
+    n_kernels: int
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, graph: Graph, feat, pseudo, *, training: bool = False):
+        dims = [self.n_hidden] * self.n_layers + [self.out_feats]
+        h = feat
+        for i, out in enumerate(dims):
+            if i != 0 and self.dropout > 0.0:
+                h = nn.Dropout(self.dropout)(h, deterministic=not training)
+            p = nn.tanh(nn.Dense(self.dim, name=f"pseudo_proj_{i}")(pseudo))
+            h = GMMConv(out_feats=out, dim=self.dim, n_kernels=self.n_kernels,
+                        name=f"gmm_{i}")(graph, h, p, training=training)
+        return h

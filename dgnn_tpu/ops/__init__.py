@@ -1,0 +1,8 @@
+from .gat import gat_aggregate
+from .gmm import gmm_aggregate, gaussian_weights
+from .edgeconv import edge_conv_max
+from . import reference
+from . import common
+
+__all__ = ["gat_aggregate", "gmm_aggregate", "gaussian_weights",
+           "edge_conv_max", "reference", "common"]

@@ -1,0 +1,148 @@
+"""SPMD execution of row-partitioned GNN layers under `shard_map`.
+
+The communication design (SURVEY.md §2.6 "TPU-build disposition"): node
+features live sharded by row range over the mesh axis; each layer sends
+exactly the statically-planned boundary rows with ONE `lax.all_to_all` over
+ICI, and local-source edges aggregate in parallel with the collective —
+XLA's scheduler overlaps them because the local bin set has no data
+dependency on the received halo.  Gradients flow back through the collective
+automatically (all_to_all transposes to the reverse all_to_all), so remote
+feature gradients return to their owning shard with no hand-written
+reduction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..graph.structure import BinnedAdj
+from ..models.gat import xavier_normal
+from ..ops.gat import _gat_fused
+from .partition import GraphShards
+
+__all__ = ["local_view", "halo_exchange", "merge_binned", "ShardedGATConv",
+           "ShardedGAT"]
+
+
+def local_view(shards: GraphShards) -> GraphShards:
+    """Strip the leading (sharded) axis inside shard_map blocks."""
+    return jax.tree.map(lambda x: x[0], shards)
+
+
+def merge_binned(a: BinnedAdj, b: BinnedAdj) -> BinnedAdj:
+    """Union of two bin sets over the same destination rows (local + halo
+    edge partitions combine through the segment log-sum-exp merge)."""
+    assert a.num_rows == b.num_rows
+    return BinnedAdj(nbr=a.nbr + b.nbr, edge=a.edge + b.edge, row=a.row + b.row,
+                     count=a.count + b.count, widths=a.widths + b.widths,
+                     num_rows=a.num_rows, num_edges=a.num_edges + b.num_edges)
+
+
+def halo_exchange(x_local: jax.Array, send_ids: jax.Array, axis_name: str):
+    """Exchange boundary rows: returns [C + P*Hmax, D] extended features.
+
+    x_local: [C, D] this shard's rows; send_ids: [P, Hmax] local indices to
+    send to each peer.  recv[q] arrives in exactly the requesting shard's
+    halo-slot order (partition.py builds both sides from the same sorted
+    request list), so extended index C + q*Hmax + j is recv[q, j].
+    """
+    send = x_local[send_ids]  # [P, Hmax, D]
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
+    return jnp.concatenate([x_local, recv.reshape(-1, x_local.shape[-1])], 0)
+
+
+class ShardedGATConv(nn.Module):
+    """GATConv over one graph shard (run under shard_map).
+
+    Per layer: local dense projection -> one all_to_all of (features ++
+    attn_col) boundary rows -> fused aggregation where local-source bins
+    overlap the collective.
+    """
+
+    out_feats: int
+    num_heads: int
+    axis_name: str = "graph"
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+    residual: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, local: GraphShards, feat, *, training: bool = False):
+        h = self.num_heads
+        f = self.out_feats
+        init = xavier_normal()
+        x = nn.Dense(h * f, use_bias=False, kernel_init=init, name="W")(feat)
+        x = x.reshape(-1, h, f)
+        if self.feat_drop > 0.0:
+            x = nn.Dropout(self.feat_drop)(x, deterministic=not training)
+        attn_l = self.param("attn_l", init, (1, h, f))
+        attn_r = self.param("attn_r", init, (1, h, f))
+        attn_row = jnp.sum(attn_l * x, axis=-1)  # [C, H] local dst rows
+        attn_col = jnp.sum(attn_r * x, axis=-1)  # [C, H] local src rows
+
+        # one collective for features + source coefficients
+        payload = jnp.concatenate([x.reshape(-1, h * f), attn_col], axis=-1)
+        ext = halo_exchange(payload, local.send_ids, self.axis_name)
+        feat_ext = ext[:, : h * f].reshape(-1, h, f)
+        ac_ext = ext[:, h * f:]
+
+        if training and self.attn_drop > 0.0:
+            seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+            seed = seed ^ jax.lax.axis_index(self.axis_name).astype(jnp.uint32)
+        else:
+            seed = jnp.uint32(0)
+        adj_fwd = merge_binned(local.fwd_local, local.fwd_halo)
+        rst = _gat_fused(self.negative_slope, float(self.attn_drop),
+                         bool(training), adj_fwd, local.bwd, attn_row, ac_ext,
+                         feat_ext, seed)
+        if self.residual:
+            res = x if feat.shape[-1] == h * f else nn.Dense(
+                h * f, use_bias=False, kernel_init=init, name="res_fc")(feat).reshape(-1, h, f)
+            rst = rst + res
+        if self.use_bias:
+            rst = rst + self.param("bias", nn.initializers.zeros, (1, h, f))
+        return rst
+
+
+class ShardedGAT(nn.Module):
+    """Multi-layer sharded GAT with the same topology as models.GAT."""
+
+    num_layers: int
+    n_hidden: int
+    n_classes: int
+    heads: tuple
+    axis_name: str = "graph"
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, local: GraphShards, feat, *, training: bool = False):
+        h = feat
+        for layer in range(self.num_layers):
+            # layer names match models.GAT so parameter trees are
+            # interchangeable between single-chip and sharded execution
+            h = ShardedGATConv(out_feats=self.n_hidden,
+                               num_heads=self.heads[layer],
+                               axis_name=self.axis_name,
+                               feat_drop=self.feat_drop,
+                               attn_drop=self.attn_drop,
+                               negative_slope=self.negative_slope,
+                               use_bias=layer > 0,
+                               name=f"gat_{layer}")(local, h, training=training)
+            h = h.reshape(h.shape[0], -1)
+        logits = ShardedGATConv(out_feats=self.n_classes,
+                                num_heads=self.heads[-1],
+                                axis_name=self.axis_name,
+                                feat_drop=self.feat_drop,
+                                attn_drop=self.attn_drop,
+                                negative_slope=self.negative_slope,
+                                name="gat_out")(local, h, training=training)
+        return jnp.mean(logits, axis=1)

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""DGCNN/EdgeConv training CLI (reference analogue:
+dgNN/script/train/train_edgeconv.py): label-smoothed CE (eps=0.2), SGD with
+momentum 0.9 + cosine decay to 0.001, dynamic k-NN graphs on device."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dgnn_tpu.data import load_modelnet
+from dgnn_tpu.models import DGCNN
+from dgnn_tpu.utils import append_csv_row, device_peak_memory_mb
+
+
+def compute_loss(logits, y, eps=0.2):
+    """Label-smoothed cross entropy (reference train_edgeconv.py:73-79)."""
+    n_cls = logits.shape[1]
+    one_hot = jax.nn.one_hot(y, n_cls)
+    smooth = one_hot * (1 - eps) + (1 - one_hot) * eps / (n_cls - 1)
+    logp = jax.nn.log_softmax(logits, axis=1)
+    return -(smooth * logp).sum(1).mean()
+
+
+def translate_augment(rng, x):
+    """Random anisotropic scale + shift (reference ModelNetDataset.translate)."""
+    s = rng.uniform(2 / 3, 3 / 2, (x.shape[0], 1, 3)).astype(np.float32)
+    t = rng.uniform(-0.2, 0.2, (x.shape[0], 1, 3)).astype(np.float32)
+    return x * s + t
+
+
+def main(args):
+    xtr, ytr, xte, yte = load_modelnet(num_points=args.num_points,
+                                       path=args.dataset_path or None,
+                                       train_samples=args.train_samples,
+                                       test_samples=args.test_samples)
+    n_classes = int(max(ytr.max(), yte.max())) + 1
+    model = DGCNN(k=args.k, output_classes=n_classes, dropout=0.5)
+
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, jnp.asarray(xtr[: args.batch_size]))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    steps_per_epoch = len(xtr) // args.batch_size
+    sched = optax.cosine_decay_schedule(0.1, args.num_epochs * steps_per_epoch,
+                                        alpha=0.01)
+    tx = optax.chain(optax.add_decayed_weights(1e-4),
+                     optax.sgd(sched, momentum=0.9))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, x, y, dropout_key):
+        def loss_fn(p):
+            logits, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, training=True,
+                rngs={"dropout": dropout_key}, mutable=["batch_stats"])
+            return compute_loss(logits, y), (logits, updates["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = jnp.mean(jnp.argmax(logits, 1) == y)
+        return params, new_stats, opt_state, loss, acc
+
+    @jax.jit
+    def eval_step(params, batch_stats, x, y):
+        logits = model.apply({"params": params, "batch_stats": batch_stats}, x)
+        return jnp.sum(jnp.argmax(logits, 1) == y)
+
+    rng = np.random.default_rng(0)
+
+    def run_epoch(params, batch_stats, opt_state, key, train=True):
+        order = rng.permutation(len(xtr))
+        tot_loss, tot_acc, nb = 0.0, 0.0, 0
+        for i in range(steps_per_epoch):
+            sel = order[i * args.batch_size:(i + 1) * args.batch_size]
+            x = translate_augment(rng, xtr[sel])
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, loss, acc = train_step(
+                params, batch_stats, opt_state, jnp.asarray(x),
+                jnp.asarray(ytr[sel]), sub)
+            tot_loss += float(loss)
+            tot_acc += float(acc)
+            nb += 1
+        return params, batch_stats, opt_state, key, tot_loss / nb, tot_acc / nb
+
+    print(args)
+    print("warm up")
+    params, batch_stats, opt_state, key, loss, acc = run_epoch(
+        params, batch_stats, opt_state, key)
+    max_mb = device_peak_memory_mb()
+    print(f"warmup loss {loss:.4f} acc {acc:.4f}")
+
+    print("profile training")
+    start = time.perf_counter()
+    for ep in range(args.num_epochs):
+        params, batch_stats, opt_state, key, loss, acc = run_epoch(
+            params, batch_stats, opt_state, key)
+        print(f"epoch {ep}: loss {loss:.4f} acc {acc:.4f}")
+    train_time = (time.perf_counter() - start) / args.num_epochs
+
+    print("profile inference")
+    start = time.perf_counter()
+    correct = 0
+    n_eval_batches = len(xte) // args.batch_size
+    for i in range(max(n_eval_batches, 1)):
+        sel = slice(i * args.batch_size, (i + 1) * args.batch_size)
+        xb, yb = xte[sel], yte[sel]
+        if len(xb) == 0:
+            xb, yb = xte, yte
+        correct += int(eval_step(params, batch_stats, jnp.asarray(xb),
+                                 jnp.asarray(yb)))
+    inference_time = time.perf_counter() - start
+    acc = correct / max(n_eval_batches * args.batch_size, len(xte))
+
+    print(f"Test Accuracy {acc:.4f}")
+    print(f"max memory:{max_mb:.0f}MB")
+    print("train time:", train_time)
+    print("inference time:", inference_time)
+    if args.output is not None:
+        append_csv_row(args.output, "train_edgeconv_dgnn_tpu",
+                       f"{args.batch_size} {args.k}", train_time,
+                       inference_time, max_mb, acc)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset-path", type=str, default="")
+    parser.add_argument("--num-epochs", type=int, default=10)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--k", type=int, default=40)
+    parser.add_argument("--num-points", type=int, default=1024)
+    parser.add_argument("--train-samples", type=int, default=512)
+    parser.add_argument("--test-samples", type=int, default=128)
+    parser.add_argument("--output", type=str, default=None)
+    main(parser.parse_args())

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""GAT training CLI (reference analogue: dgNN/script/train/train_gatconv.py).
+
+Same flags, measurement protocol (warmup + synchronized per-epoch wall clock
+for train and inference) and CSV schema as the reference, on JAX/TPU.
+Datasets load from disk when present, else deterministic synthetic graphs at
+the same scale (no network egress here).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dgnn_tpu.data import load_citation_dataset
+from dgnn_tpu.graph.structure import build_graph
+from dgnn_tpu.models import GAT
+from dgnn_tpu.utils import append_csv_row, device_peak_memory_mb
+
+
+def main(args):
+    data = load_citation_dataset(args.dataset, seed=args.seed)
+    graph = build_graph(data.src, data.dst, data.num_nodes)
+    features = jnp.asarray(data.features)
+    labels = jnp.asarray(data.labels)
+    train_mask = jnp.asarray(data.train_mask)
+    test_mask = jnp.asarray(data.test_mask)
+
+    heads = [args.n_heads] * args.n_layers + [1]
+    model = GAT(num_layers=args.n_layers, n_hidden=args.n_hidden,
+                n_classes=data.n_classes, heads=heads,
+                feat_drop=args.dropout, attn_drop=args.attn_drop,
+                negative_slope=args.negative_slope)
+
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init(key, graph, features)
+    # torch.optim.Adam(weight_decay=...) couples L2 into the gradient
+    tx = optax.chain(optax.add_decayed_weights(args.weight_decay),
+                     optax.adam(args.lr))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, dropout_key):
+        def loss_fn(p):
+            logits = model.apply(p, graph, features, training=True,
+                                 rngs={"dropout": dropout_key})
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels)
+            return jnp.sum(losses * train_mask) / jnp.sum(train_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def infer(params):
+        return model.apply(params, graph, features)
+
+    print(args)
+    print("warm up")
+    for i in range(10):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, sub)
+    jax.block_until_ready(loss)
+    max_mb = device_peak_memory_mb()
+
+    print("profile training")
+    start = time.perf_counter()
+    for _ in range(args.n_epochs):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, sub)
+        if args.verbose:
+            print(float(loss))
+    jax.block_until_ready(loss)
+    train_time = (time.perf_counter() - start) / args.n_epochs
+
+    print("profile inference")
+    logits = infer(params)
+    jax.block_until_ready(logits)
+    start = time.perf_counter()
+    for _ in range(args.n_epochs):
+        logits = infer(params)
+    jax.block_until_ready(logits)
+    inference_time = (time.perf_counter() - start) / args.n_epochs
+
+    pred = jnp.argmax(logits, axis=1)
+    acc = float(jnp.sum((pred == labels) * test_mask) / jnp.sum(test_mask))
+    train_acc = float(jnp.sum((pred == labels) * train_mask) / jnp.sum(train_mask))
+    print(f"Test Accuracy {acc:.4f} (train {train_acc:.4f})")
+    print(f"max memory:{max_mb:.0f}MB")
+    print("train time:", train_time)
+    print("inference time:", inference_time)
+
+    if args.output is not None:
+        append_csv_row(args.output, "train_GAT_dgnn_tpu",
+                       f"{args.dataset} heads={args.n_heads} hidden_dim={args.n_hidden}",
+                       train_time, inference_time, max_mb, acc)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="GAT")
+    parser.add_argument("--dataset", type=str, default="cora")
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--weight-decay", type=float, default=5e-4)
+    parser.add_argument("--dropout", type=float, default=0.5)
+    parser.add_argument("--n-epochs", type=int, default=200)
+    parser.add_argument("--n-hidden", type=int, default=16)
+    parser.add_argument("--n-layers", type=int, default=1)
+    parser.add_argument("--n-heads", type=int, default=1)
+    parser.add_argument("--negative-slope", type=float, default=0.2)
+    parser.add_argument("--attn-drop", type=float, default=0.0)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--verbose", action="store_true")
+    main(parser.parse_args())

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""MoNet (GMMConv) training CLI (reference analogue:
+dgNN/script/train/train_gmmconv.py).  Pseudo-coords per CSR edge are
+[1/sqrt(deg_u), 1/sqrt(deg_v)] (reference :120-122)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dgnn_tpu.data import load_citation_dataset
+from dgnn_tpu.graph.structure import build_graph
+from dgnn_tpu.models import MoNet
+from dgnn_tpu.utils import append_csv_row, device_peak_memory_mb
+
+
+def edge_pseudo(graph):
+    """[E, 2] pseudo-coordinates in CSR edge order."""
+    deg = jnp.maximum(graph.in_degrees().astype(jnp.float32), 1.0)
+    rsq = jax.lax.rsqrt(deg)
+    row = jnp.repeat(jnp.arange(graph.num_nodes), jnp.diff(graph.row_ptr),
+                     total_repeat_length=graph.num_edges)
+    return jnp.stack([rsq[graph.col_ind], rsq[row]], axis=1)
+
+
+def main(args):
+    data = load_citation_dataset(args.dataset, seed=args.seed)
+    graph = build_graph(data.src, data.dst, data.num_nodes)
+    features = jnp.asarray(data.features)
+    labels = jnp.asarray(data.labels)
+    train_mask = jnp.asarray(data.train_mask)
+    test_mask = jnp.asarray(data.test_mask)
+    pseudo = edge_pseudo(graph)
+
+    model = MoNet(n_hidden=args.n_hidden, out_feats=data.n_classes,
+                  n_layers=args.n_layers, dim=args.pseudo_dim,
+                  n_kernels=args.n_kernels, dropout=args.dropout)
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init(key, graph, features, pseudo)
+    tx = optax.chain(optax.add_decayed_weights(args.weight_decay),
+                     optax.adam(args.lr))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, dropout_key):
+        def loss_fn(p):
+            logits = model.apply(p, graph, features, pseudo, training=True,
+                                 rngs={"dropout": dropout_key})
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels)
+            return jnp.sum(losses * train_mask) / jnp.sum(train_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def infer(params):
+        return model.apply(params, graph, features, pseudo)
+
+    print(args)
+    print("warm up")
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, sub)
+    jax.block_until_ready(loss)
+    max_mb = device_peak_memory_mb()
+
+    print("profile training")
+    start = time.perf_counter()
+    for _ in range(args.n_epochs):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, sub)
+    jax.block_until_ready(loss)
+    train_time = (time.perf_counter() - start) / args.n_epochs
+
+    print("profile inference")
+    logits = infer(params)
+    jax.block_until_ready(logits)
+    start = time.perf_counter()
+    for _ in range(args.n_epochs):
+        logits = infer(params)
+    jax.block_until_ready(logits)
+    inference_time = (time.perf_counter() - start) / args.n_epochs
+
+    pred = jnp.argmax(logits, axis=1)
+    acc = float(jnp.sum((pred == labels) * test_mask) / jnp.sum(test_mask))
+    print(f"Test Accuracy {acc:.4f}")
+    print(f"max memory:{max_mb:.0f}MB")
+    print("train time:", train_time)
+    print("inference time:", inference_time)
+
+    if args.output is not None:
+        append_csv_row(
+            args.output, "train_GMM_dgnn_tpu",
+            f"{args.dataset} pseudo_dim={args.pseudo_dim} "
+            f"n_kernels={args.n_kernels} hidden_dim={args.n_hidden}",
+            train_time, inference_time, max_mb, acc)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="MoNet on citation network")
+    parser.add_argument("--dataset", type=str, default="cora")
+    parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--weight-decay", type=float, default=5e-4)
+    parser.add_argument("--dropout", type=float, default=0.5)
+    parser.add_argument("--n-epochs", type=int, default=200)
+    parser.add_argument("--n-hidden", type=int, default=16)
+    parser.add_argument("--n-layers", type=int, default=1)
+    parser.add_argument("--pseudo-dim", type=int, default=2)
+    parser.add_argument("--n-kernels", type=int, default=3)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    main(parser.parse_args())

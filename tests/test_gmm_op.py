@@ -1,0 +1,61 @@
+"""Fused GMM aggregation vs dense oracle: forward + gradients (incl. the
+Gaussian-parameter VJP the reference gets wrong, SURVEY.md §2.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgnn_tpu.graph.structure import build_graph
+from dgnn_tpu.ops import reference
+from dgnn_tpu.ops.gmm import gmm_aggregate
+from tests.conftest import random_graph
+
+
+def _setup(rng, n=50, deg=4, k=3, f=5, d=2, widths=(4, 16)):
+    src, dst = random_graph(rng, n, deg)
+    g = build_graph(src, dst, n, widths=widths)
+    e = g.num_edges
+    feat = jnp.asarray(rng.normal(size=(n, k, f)), jnp.float32)
+    pseudo = jnp.asarray(rng.normal(size=(e, d)), jnp.float32)
+    mu = jnp.asarray(rng.normal(scale=0.1, size=(k, d)), jnp.float32)
+    isig = jnp.ones((k, d), jnp.float32)
+    eid = reference.dense_edge_ids(np.asarray(g.row_ptr), np.asarray(g.col_ind), n)
+    return g, feat, pseudo, mu, isig, eid
+
+
+def test_forward_matches_dense(rng):
+    g, feat, pseudo, mu, isig, eid = _setup(rng)
+    out = gmm_aggregate(g, feat, pseudo, mu, isig)
+    ref = reference.gmm_dense(eid, feat, pseudo, mu, isig)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grads_match_dense_autodiff(rng):
+    g, feat, pseudo, mu, isig, eid = _setup(rng, n=40, deg=5, k=2, f=3)
+
+    def loss_fused(feat, pseudo, mu, isig):
+        return jnp.sum(gmm_aggregate(g, feat, pseudo, mu, isig) ** 2)
+
+    def loss_dense(feat, pseudo, mu, isig):
+        return jnp.sum(reference.gmm_dense(eid, feat, pseudo, mu, isig) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(feat, pseudo, mu, isig)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(feat, pseudo, mu, isig)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_power_law_split_rows(rng):
+    g, feat, pseudo, mu, isig, eid = _setup(rng, n=60, deg=6, widths=(2, 8))
+
+    def loss_fused(feat, pseudo, mu, isig):
+        return jnp.sum(jnp.sin(gmm_aggregate(g, feat, pseudo, mu, isig)))
+
+    def loss_dense(feat, pseudo, mu, isig):
+        return jnp.sum(jnp.sin(reference.gmm_dense(eid, feat, pseudo, mu, isig)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(feat, pseudo, mu, isig)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(feat, pseudo, mu, isig)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
