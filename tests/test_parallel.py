@@ -45,7 +45,7 @@ def test_sharded_forward_matches_single(rng, num_shards):
 
     fwd = shard_map(per_shard, mesh=mesh,
                     in_specs=(P(), P("graph"), P("graph")),
-                    out_specs=P("graph"), check_rep=False)
+                    out_specs=P("graph"))
     out = jax.jit(fwd)(params, shards, jnp.asarray(feat_pad))
     ref = ref_model.apply(params, g, jnp.asarray(feat))
     np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
@@ -78,7 +78,7 @@ def test_sharded_grads_match_single(rng):
 
     fwd = shard_map(per_shard_logits, mesh=mesh,
                     in_specs=(P(), P("graph"), P("graph")),
-                    out_specs=P("graph"), check_rep=False)
+                    out_specs=P("graph"))
 
     def loss_sharded(params):
         logits = fwd(params, shards, jnp.asarray(feat_pad))
