@@ -34,19 +34,19 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _build_graph(scale: float):
     """Reddit-scale R-MAT, preprocessed + binned, cached on disk."""
     from dgnn_tpu.data.synthetic import rmat_edges
-    from dgnn_tpu.graph import binning, build, structure
+    from dgnn_tpu.graph import cache as gcache
+    from dgnn_tpu.graph import structure
 
     n = int(232965 * scale)
     e = int(114615892 * scale)
     os.makedirs(CACHE_DIR, exist_ok=True)
-    cache = os.path.join(CACHE_DIR, f"rmat_{n}_{e}.npz")
+    cache = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}.npz")
     if os.path.exists(cache):
-        z = np.load(cache)
-        src, dst = z["src"], z["dst"]
-    else:
-        src, dst = rmat_edges(n, e, seed=0)
-        np.savez(cache, src=src, dst=dst)
-    return structure.build_graph(src, dst, n), n
+        return gcache.load_graph(cache), n
+    src, dst = rmat_edges(n, e, seed=0)
+    g = structure.build_graph(src, dst, n)
+    gcache.save_graph(cache, g)
+    return g, n
 
 
 def main():

@@ -66,6 +66,14 @@ class BinnedCSR:
         return self.num_edges / slots if slots else 1.0
 
 
+def _native():
+    try:
+        from .. import native
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def _build_bin(
     row_ptr: np.ndarray,
     col_ind: np.ndarray,
@@ -82,11 +90,15 @@ def _build_bin(
         rows = np.concatenate([rows, np.zeros(pad, np.int64)])
         starts = np.concatenate([starts, np.zeros(pad, np.int64)])
         counts = np.concatenate([counts, np.zeros(pad, np.int64)])
-    lane = np.arange(width, dtype=np.int64)[None, :]
-    mask = lane < counts[:, None]
-    offs = np.where(mask, starts[:, None] + lane, 0)
-    nbr = np.where(mask, col_ind[offs], 0).astype(np.int32)
-    edge = np.where(mask, edge_ids[offs], 0).astype(np.int32)
+    nat = _native()
+    if nat is not None:
+        nbr, edge = nat.bin_fill(starts, counts, width, col_ind, edge_ids)
+    else:
+        lane = np.arange(width, dtype=np.int64)[None, :]
+        mask = lane < counts[:, None]
+        offs = np.where(mask, starts[:, None] + lane, 0)
+        nbr = np.where(mask, col_ind[offs], 0).astype(np.int32)
+        edge = np.where(mask, edge_ids[offs], 0).astype(np.int32)
     return nbr, edge, rows.astype(np.int32), counts.astype(np.int32)
 
 

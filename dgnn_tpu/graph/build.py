@@ -27,6 +27,14 @@ def _as_int64(x) -> np.ndarray:
     return np.asarray(x, dtype=np.int64)
 
 
+def _native():
+    try:
+        from .. import native
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def coo_to_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int):
     """Build CSR over *destination* rows: row i lists source nodes of edges
     into i (the aggregation direction used by every layer).
@@ -37,6 +45,11 @@ def coo_to_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int):
     src = _as_int64(src)
     dst = _as_int64(dst)
     num_edges = src.shape[0]
+    if num_edges >= np.iinfo(np.int32).max:
+        raise ValueError("per-shard edge count must fit int32")
+    nat = _native()
+    if nat is not None:
+        return nat.coo_to_csr(src, dst, num_nodes)
     # Sort edges by (dst, src): stable lexsort, primary key last.
     order = np.lexsort((src, dst))
     col_ind = src[order].astype(np.int32)
@@ -59,6 +72,9 @@ def csr_to_csc_permute(row_ptr: np.ndarray, col_ind: np.ndarray):
     """
     num_nodes = row_ptr.shape[0] - 1
     num_edges = col_ind.shape[0]
+    nat = _native()
+    if nat is not None:
+        return nat.csr_to_csc_permute(row_ptr, col_ind)
     row_of_edge = np.repeat(
         np.arange(num_nodes, dtype=np.int64), np.diff(row_ptr).astype(np.int64)
     )

@@ -1,0 +1,73 @@
+"""Disk cache for preprocessed graphs.
+
+Host-side preprocessing (sorting + binning) is one-time per graph; caching
+the finished `Graph` pytree as an .npz makes repeated benchmark/training
+runs skip it entirely (reference analogue: none — dgNN re-runs scipy
+preprocessing every script invocation, train_gatconv.py:78-94).
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from .structure import BinnedAdj, Graph
+
+__all__ = ["save_graph", "load_graph"]
+
+
+def _pack_binned(prefix: str, adj: BinnedAdj, store: dict, meta: dict):
+    meta[prefix] = {"widths": list(adj.widths), "num_rows": adj.num_rows,
+                    "num_edges": adj.num_edges}
+    for i in range(adj.num_bins):
+        store[f"{prefix}_nbr_{i}"] = np.asarray(adj.nbr[i])
+        store[f"{prefix}_edge_{i}"] = np.asarray(adj.edge[i])
+        store[f"{prefix}_row_{i}"] = np.asarray(adj.row[i])
+        store[f"{prefix}_count_{i}"] = np.asarray(adj.count[i])
+
+
+def _unpack_binned(prefix: str, z, meta: dict) -> BinnedAdj:
+    m = meta[prefix]
+    nbins = len(m["widths"])
+    return BinnedAdj(
+        nbr=tuple(jnp.asarray(z[f"{prefix}_nbr_{i}"]) for i in range(nbins)),
+        edge=tuple(jnp.asarray(z[f"{prefix}_edge_{i}"]) for i in range(nbins)),
+        row=tuple(jnp.asarray(z[f"{prefix}_row_{i}"]) for i in range(nbins)),
+        count=tuple(jnp.asarray(z[f"{prefix}_count_{i}"]) for i in range(nbins)),
+        widths=tuple(m["widths"]),
+        num_rows=m["num_rows"],
+        num_edges=m["num_edges"],
+    )
+
+
+def save_graph(path: str, g: Graph) -> None:
+    store = {}
+    meta = {"num_nodes": g.num_nodes, "num_edges": g.num_edges}
+    _pack_binned("fwd", g.fwd, store, meta)
+    _pack_binned("bwd", g.bwd, store, meta)
+    store["row_ptr"] = np.asarray(g.row_ptr)
+    store["col_ind"] = np.asarray(g.col_ind)
+    store["col_ptr"] = np.asarray(g.col_ptr)
+    store["row_ind"] = np.asarray(g.row_ind)
+    store["permute"] = np.asarray(g.permute)
+    store["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **store)
+
+
+def load_graph(path: str) -> Graph:
+    z = np.load(path)
+    meta = json.loads(bytes(z["meta_json"]).decode())
+    return Graph(
+        row_ptr=jnp.asarray(z["row_ptr"]),
+        col_ind=jnp.asarray(z["col_ind"]),
+        col_ptr=jnp.asarray(z["col_ptr"]),
+        row_ind=jnp.asarray(z["row_ind"]),
+        permute=jnp.asarray(z["permute"]),
+        fwd=_unpack_binned("fwd", z, meta),
+        bwd=_unpack_binned("bwd", z, meta),
+        num_nodes=meta["num_nodes"],
+        num_edges=meta["num_edges"],
+    )

@@ -47,6 +47,23 @@ def _segment_sum(x, ids, n):
     return jax.ops.segment_sum(x, ids, num_segments=n)
 
 
+def _use_pallas(heads: int, feat: int, width: int, num_segments: int) -> bool:
+    """Dispatch to the fused Pallas kernel when the tile shape maps cleanly
+    onto TPU (feature row a multiple of 128 lanes, enough slots to amortize
+    the DMA wave); overridable via DGNN_TPU_PALLAS=0/1."""
+    import os
+
+    flag = os.environ.get("DGNN_TPU_PALLAS", "auto")
+    if flag == "0":
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    shape_ok = ((heads * feat) % 128 == 0 and width >= 8
+                and num_segments % 8 == 0)
+    if flag == "1":
+        return shape_ok
+    return on_tpu and shape_ok
+
+
 def _recompute_attn(mask, s_raw, M_rows, L_rows):
     """Per-slot softmax weight a_e = exp(s - M_row) / L_row, masked."""
     a = jnp.exp(s_raw - M_rows) / jnp.maximum(L_rows, 1e-20)
@@ -58,10 +75,31 @@ def _recompute_attn(mask, s_raw, M_rows, L_rows):
 # ---------------------------------------------------------------------------
 
 
+def _forward_bin_pallas(width, nbr, edge, row, count, ar, ac, feat, slope, p,
+                        seed, training):
+    """Fused-kernel path: scores in XLA (negligible traffic), neighbor-row
+    DMA gather + online softmax + weighted accumulation in VMEM."""
+    from .pallas.gat_forward import gat_forward_bin_pallas
+
+    H = ar.shape[-1]
+    F = feat.shape[-1]
+    s = leaky_relu(ar[row][:, None, :] + ac[nbr], slope)  # [S, W, H]
+    wmult = (edge_keep(seed, edge, H, p)
+             if (training and p > 0) else None)
+    feat2d = feat.reshape(feat.shape[0], H * F)
+    interpret = jax.default_backend() != "tpu"
+    m, l, acc = gat_forward_bin_pallas(nbr, count, s, wmult, feat2d,
+                                       interpret=interpret)
+    return m, l, acc.reshape(-1, H, F)
+
+
 def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, slope, p, seed, training):
     """Per-bin streaming pass: per-segment (max, sumexp, weighted acc)."""
     H = ar.shape[-1]
     F = feat.shape[-1]
+    if _use_pallas(H, F, width, nbr.shape[0]):
+        return _forward_bin_pallas(width, nbr, edge, row, count, ar, ac, feat,
+                                   slope, p, seed, training)
     chunk = chunk_rows_for_budget(width, H * F)
 
     def fn(nbr_c, edge_c, row_c, count_c):
