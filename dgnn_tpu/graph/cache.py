@@ -54,7 +54,12 @@ def save_graph(path: str, g: Graph) -> None:
     store["permute"] = np.asarray(g.permute)
     store["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **store)
+    # atomic write: interrupted runs must not leave a corrupt cache
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **store)
+    import os
+
+    os.replace(tmp, path)
 
 
 def load_graph(path: str) -> Graph:

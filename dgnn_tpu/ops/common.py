@@ -36,6 +36,22 @@ NEG_INF = float("-inf")
 GATHER_BUDGET_BYTES = 256 * 1024 * 1024
 
 
+def use_pallas(heads: int, feat: int, width: int, num_segments: int) -> bool:
+    """Dispatch to the fused Pallas kernels when the tile shape maps cleanly
+    onto TPU (feature row a multiple of 128 lanes, enough slots to amortize
+    the DMA wave); overridable via DGNN_TPU_PALLAS=0/1 (1 forces interpret
+    mode off-TPU, for tests)."""
+    import os
+
+    flag = os.environ.get("DGNN_TPU_PALLAS", "0")
+    if flag != "1":
+        # default off until the DMA-gather kernels compile under Mosaic on
+        # real hardware (the XLA gather path is the production default)
+        return False
+    return ((heads * feat) % 128 == 0 and width >= 8
+            and num_segments % 8 == 0)
+
+
 def lane_mask(count: jax.Array, width: int) -> jax.Array:
     """[S] counts -> [S, width] bool validity mask."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)

@@ -47,21 +47,7 @@ def _segment_sum(x, ids, n):
     return jax.ops.segment_sum(x, ids, num_segments=n)
 
 
-def _use_pallas(heads: int, feat: int, width: int, num_segments: int) -> bool:
-    """Dispatch to the fused Pallas kernel when the tile shape maps cleanly
-    onto TPU (feature row a multiple of 128 lanes, enough slots to amortize
-    the DMA wave); overridable via DGNN_TPU_PALLAS=0/1."""
-    import os
-
-    flag = os.environ.get("DGNN_TPU_PALLAS", "auto")
-    if flag == "0":
-        return False
-    on_tpu = jax.default_backend() == "tpu"
-    shape_ok = ((heads * feat) % 128 == 0 and width >= 8
-                and num_segments % 8 == 0)
-    if flag == "1":
-        return shape_ok
-    return on_tpu and shape_ok
+from .common import use_pallas as _use_pallas
 
 
 def _recompute_attn(mask, s_raw, M_rows, L_rows):
@@ -149,12 +135,34 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training):
 # ---------------------------------------------------------------------------
 
 
+def _dx_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L, g_out, slope,
+                   p, seed, training):
+    """Fused-kernel dX: attention recomputed in XLA (edge-scalar traffic),
+    grad_out rows streamed once by the weighted-gather kernel."""
+    from .pallas.gather_ops import weighted_gather_accumulate
+
+    H = ar.shape[-1]
+    F = g_out.shape[-1]
+    mask = lane_mask(count, width)
+    s_raw = ar[nbr] + ac[row][:, None, :]
+    a = _recompute_attn(mask, leaky_relu(s_raw, slope), M[nbr], L[nbr])
+    if training and p > 0:
+        a = a * edge_keep(seed, edge, H, p)
+    interpret = jax.default_backend() != "tpu"
+    dx = weighted_gather_accumulate(nbr, a, g_out.reshape(-1, H * F),
+                                    interpret=interpret)
+    return dx.reshape(-1, H, F)
+
+
 def _dx_bin(width, nbr, edge, row, count, ar, ac, M, L, g_out, slope, p, seed, training):
     """Transposed SpMM: per-source-segment dX partial (reference analogue:
     mhspmm_backward_kernel, fused_gatconv_kernel.cu:712-763).
     Here row = source node, nbr = destination rows."""
     H = ar.shape[-1]
     F = g_out.shape[-1]
+    if _use_pallas(H, F, width, nbr.shape[0]):
+        return _dx_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L,
+                              g_out, slope, p, seed, training)
     chunk = chunk_rows_for_budget(width, H * F)
 
     def fn(nbr_c, edge_c, row_c, count_c):
@@ -172,6 +180,31 @@ def _dx_bin(width, nbr, edge, row, count, ar, ac, M, L, g_out, slope, p, seed, t
     return dx
 
 
+def _attn_pass1_pallas(width, nbr, edge, row, count, ar, ac, M, L, feat,
+                       g_out, slope, p, seed, training, n_src):
+    """Fused-kernel SDDMM (reference analogue: mhsddmm) + XLA epilogue for
+    the softmax-backward edge scalars."""
+    from .pallas.gather_ops import gather_dot
+
+    H = ar.shape[-1]
+    F = feat.shape[-1]
+    interpret = jax.default_backend() != "tpu"
+    q2d = g_out[row].reshape(-1, H * F)  # [S, HF] grad rows per segment
+    g = gather_dot(nbr, q2d, feat.reshape(-1, H * F), H,
+                   interpret=interpret)  # [S, W, H]
+    mask = lane_mask(count, width)
+    s_raw = ar[row][:, None, :] + ac[nbr]
+    a = _recompute_attn(mask, leaky_relu(s_raw, slope), M[row][:, None, :],
+                        L[row][:, None, :])
+    if training and p > 0:
+        g = g * edge_keep(seed, edge, H, p)
+    d = leaky_relu_grad(s_raw, slope)
+    q = a * g  # a==0 on padded slots masks gather_dot garbage
+    qd = q * d
+    u1 = _segment_sum(qd.reshape(-1, H), nbr.reshape(-1), n_src)
+    return jnp.sum(q, axis=1), jnp.sum(qd, axis=1), u1
+
+
 def _attn_pass1_bin(width, nbr, edge, row, count, ar, ac, M, L, feat, g_out,
                     slope, p, seed, training, n_src):
     """SDDMM + first softmax-backward pass over the forward (CSR) bins
@@ -182,6 +215,9 @@ def _attn_pass1_bin(width, nbr, edge, row, count, ar, ac, M, L, feat, g_out,
     and scatters u1 = a * g~ * d over source columns."""
     H = ar.shape[-1]
     F = feat.shape[-1]
+    if _use_pallas(H, F, width, nbr.shape[0]):
+        return _attn_pass1_pallas(width, nbr, edge, row, count, ar, ac, M, L,
+                                  feat, g_out, slope, p, seed, training, n_src)
     chunk = chunk_rows_for_budget(width, 2 * H * F)
 
     def fn(nbr_c, edge_c, row_c, count_c):

@@ -8,13 +8,16 @@ and performs the masked online softmax + weighted accumulation entirely in
 VMEM, touching each neighbor row once (the role of the reference's
 `fused_forward_kernel`'s shmem staging, fused_gatconv_kernel.cu:91-117).
 
-Per grid step (BS segments x W slots):
-  - neighbor ids are read from an SMEM block and W row-DMAs are issued per
-    segment into a double-buffered VMEM scratch, so segment i+1's gather
-    overlaps segment i's compute;
-  - edge scores arrive precomputed ([S, W, H], tiny vs feature traffic);
-  - per-segment (max, sumexp, weighted-acc) partials are written out and
-    merged across bins by the caller's segment log-sum-exp combine.
+Mosaic-friendly 2-D formulation: per-head weights [W, H] are broadcast
+across each head's F feature lanes with a tiny MXU matmul against a constant
+0/1 "expander" [H, H*F] (expander[h, h*F+f] = 1), avoiding lane-splitting
+reshapes that Mosaic cannot lower.
+
+Per grid step (BS segments x W slots): neighbor ids are read from an SMEM
+block and W row-DMAs per segment land in a double-buffered VMEM scratch, so
+segment i+1's gather overlaps segment i's compute.  Per-segment (max,
+sumexp, weighted-acc) partials are written out and merged across bins by the
+caller's segment log-sum-exp combine.
 
 Dropout: the caller passes `wmult` ([S, W, H] keep/(1-p) multipliers derived
 from the stateless edge hash) or None.
@@ -26,24 +29,31 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gat_forward_bin_pallas"]
+__all__ = ["gat_forward_bin_pallas", "head_expander"]
 
 NEG_INF = float("-inf")
+BS = 8  # segments per grid step
 
 
-def _kernel(count_ref, nbr_ref, s_ref, wmult_ref, feat_hbm, m_ref, l_ref,
-            acc_ref, xbuf, sem, *, bs, width, heads, hf, use_wmult):
-    f = hf // heads
+def head_expander(heads: int, feat: int) -> np.ndarray:
+    """[H, H*F] 0/1 matrix with expander[h, h*F + f] = 1."""
+    e = np.zeros((heads, heads * feat), np.float32)
+    for h in range(heads):
+        e[h, h * feat:(h + 1) * feat] = 1.0
+    return e
 
+
+def _kernel(count_ref, nbr_ref, s_ref, wmult_ref, exp_ref, feat_hbm,
+            m_ref, l_ref, acc_ref, xbuf, sem, *, bs, width, heads, hf,
+            use_wmult):
     def gather_segment(seg, buf):
-        """Issue W row-DMAs for segment `seg` into xbuf[buf]."""
         def issue(j, _):
-            idx = nbr_ref[seg, j]
             pltpu.make_async_copy(
-                feat_hbm.at[idx], xbuf.at[buf, j], sem.at[buf]
+                feat_hbm.at[nbr_ref[seg, j]], xbuf.at[buf, j], sem.at[buf]
             ).start()
             return 0
         jax.lax.fori_loop(0, width, issue, 0)
@@ -67,22 +77,20 @@ def _kernel(count_ref, nbr_ref, s_ref, wmult_ref, feat_hbm, m_ref, l_ref,
 
         wait_segment(buf)
 
-        cnt = count_ref[seg]
+        cnt = count_ref[seg, 0]
         lane = jax.lax.broadcasted_iota(jnp.int32, (width, 1), 0)
         mask = lane < cnt  # [W, 1]
         s = jnp.where(mask, s_ref[seg], NEG_INF)  # [W, H]
-        m = jnp.max(s, axis=0)  # [H]
-        w = jnp.where(mask, jnp.exp(s - m[None, :]), 0.0)  # [W, H]
-        l = jnp.sum(w, axis=0)  # [H]
-        if use_wmult:
-            w_agg = w * wmult_ref[seg]
-        else:
-            w_agg = w
-        x = xbuf[buf].reshape(width, heads, f)  # [W, H, F]
-        acc = jnp.sum(w_agg[:, :, None] * x, axis=0)  # [H, F] (VPU)
-        m_ref[seg, :] = m
-        l_ref[seg, :] = l
-        acc_ref[seg, :] = acc.reshape(hf)
+        m = jnp.max(s, axis=0, keepdims=True)  # [1, H]
+        w = jnp.where(mask, jnp.exp(s - m), 0.0)  # [W, H]
+        l = jnp.sum(w, axis=0, keepdims=True)  # [1, H]
+        w_agg = w * wmult_ref[seg] if use_wmult else w
+        # broadcast head weights over feature lanes: [W,H] @ [H,HF] -> [W,HF]
+        wexp = jnp.dot(w_agg, exp_ref[:], preferred_element_type=jnp.float32)
+        acc = jnp.sum(wexp * xbuf[buf], axis=0, keepdims=True)  # [1, HF]
+        m_ref[pl.ds(seg, 1), :] = m
+        l_ref[pl.ds(seg, 1), :] = l
+        acc_ref[pl.ds(seg, 1), :] = acc
         return 0
 
     jax.lax.fori_loop(0, bs, body, 0)
@@ -96,45 +104,44 @@ def gat_forward_bin_pallas(nbr, count, s, wmult, feat2d, *, interpret=False):
       count: [S] int32 valid slots per segment.
       s: [S, W, H] f32 edge scores (LeakyReLU applied, unmasked).
       wmult: [S, W, H] f32 dropout multipliers, or None.
-      feat2d: [N, H*F] f32 node features (H*F should be a multiple of 128
-        for efficient DMA/VMEM tiling; the caller pads otherwise).
+      feat2d: [N, H*F] f32 node features (H*F a multiple of 128; the caller
+        guarantees via ops.common.use_pallas).
     Returns:
       (m [S, H], l [S, H], acc [S, H*F]) per-segment partials.
     """
     seg, width = nbr.shape
     heads = s.shape[-1]
     hf = feat2d.shape[-1]
-    bs = 8  # segments per grid step
-    assert seg % bs == 0, (seg, bs)
+    assert seg % BS == 0, (seg, BS)
     use_wmult = wmult is not None
     if wmult is None:
         wmult = jnp.zeros((seg, 1, heads), jnp.float32)  # placeholder
     wblock = wmult.shape[1]
+    expander = jnp.asarray(head_expander(heads, hf // heads))
 
-    grid = (seg // bs,)
-    kernel = functools.partial(_kernel, bs=bs, width=width, heads=heads,
+    kernel = functools.partial(_kernel, bs=BS, width=width, heads=heads,
                                hf=hf, use_wmult=use_wmult)
-    flops = 2 * seg * width * hf
-    bytes_accessed = seg * width * (hf * 4 + heads * 8) + seg * hf * 4
-    return pl.pallas_call(
+    m, l, acc = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(seg // BS,),
         in_specs=[
-            pl.BlockSpec((bs,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bs, width), lambda i: (i, 0),
+            pl.BlockSpec((BS, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((BS, width), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((bs, width, heads), lambda i: (i, 0, 0),
+            pl.BlockSpec((BS, width, heads), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, wblock, heads), lambda i: (i, 0, 0),
+            pl.BlockSpec((BS, wblock, heads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, hf), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # feat stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((bs, heads), lambda i: (i, 0),
+            pl.BlockSpec((BS, heads), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, heads), lambda i: (i, 0),
+            pl.BlockSpec((BS, heads), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, hf), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BS, hf), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((seg, heads), jnp.float32),
@@ -145,8 +152,10 @@ def gat_forward_bin_pallas(nbr, count, s, wmult, feat2d, *, interpret=False):
             pltpu.VMEM((2, width, hf), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        cost_estimate=pl.CostEstimate(flops=flops,
-                                      bytes_accessed=bytes_accessed,
-                                      transcendentals=seg * width * heads),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * seg * width * hf,
+            bytes_accessed=seg * width * (hf * 4 + heads * 8) + seg * hf * 4,
+            transcendentals=seg * width * heads),
         interpret=interpret,
-    )(count, nbr, s, wmult, feat2d)
+    )(count.reshape(-1, 1), nbr, s, wmult, expander, feat2d)
+    return m, l, acc

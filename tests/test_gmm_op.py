@@ -46,6 +46,32 @@ def test_grads_match_dense_autodiff(rng):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_gmm_matches_dense(rng):
+    """GMM fwd+bwd with the Pallas kernels forced on (interpret mode)."""
+    import os
+
+    g, feat, pseudo, mu, isig, eid = _setup(rng, n=48, deg=5, k=2, f=64,
+                                            widths=(8,))
+
+    def loss_fused(feat, pseudo, mu, isig):
+        return jnp.sum(gmm_aggregate(g, feat, pseudo, mu, isig) ** 2)
+
+    def loss_dense(feat, pseudo, mu, isig):
+        return jnp.sum(reference.gmm_dense(eid, feat, pseudo, mu, isig) ** 2)
+
+    os.environ["DGNN_TPU_PALLAS"] = "1"
+    try:
+        out = gmm_aggregate(g, feat, pseudo, mu, isig)
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(feat, pseudo, mu, isig)
+    finally:
+        os.environ["DGNN_TPU_PALLAS"] = "0"
+    ref = reference.gmm_dense(eid, feat, pseudo, mu, isig)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(feat, pseudo, mu, isig)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_power_law_split_rows(rng):
     g, feat, pseudo, mu, isig, eid = _setup(rng, n=60, deg=6, widths=(2, 8))
 

@@ -49,6 +49,29 @@ def test_pallas_fwd_bin_with_dropout(rng):
         np.testing.assert_allclose(acc1, acc0, rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_backward_matches_dense(rng):
+    """Full custom_vjp with Pallas kernels forced on (fwd + dX + SDDMM)."""
+    g, ar, ac, feat = _setup(rng, n=64, deg=5, h=2, f=64, widths=(8,))
+    adj = reference.dense_adj(np.asarray(g.row_ptr), np.asarray(g.col_ind),
+                              g.num_nodes)
+
+    def loss_fused(ar, ac, feat):
+        return jnp.sum(jnp.sin(gat_aggregate(g, ar, ac, feat)))
+
+    def loss_dense(ar, ac, feat):
+        out, _, _ = reference.gat_dense(adj, ar, ac, feat, 0.2)
+        return jnp.sum(jnp.sin(out))
+
+    os.environ["DGNN_TPU_PALLAS"] = "1"
+    try:
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(ar, ac, feat)
+    finally:
+        os.environ["DGNN_TPU_PALLAS"] = "0"
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(ar, ac, feat)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_full_aggregate_forced(rng):
     """End-to-end gat_aggregate with the Pallas path forced on (interpret)."""
     g, ar, ac, feat = _setup(rng, n=80, deg=5, h=2, f=64, widths=(8, 32))
@@ -58,6 +81,6 @@ def test_pallas_full_aggregate_forced(rng):
     try:
         out = gat_aggregate(g, ar, ac, feat)
     finally:
-        os.environ["DGNN_TPU_PALLAS"] = "auto"
+        os.environ["DGNN_TPU_PALLAS"] = "0"
     ref, _, _ = reference.gat_dense(adj, ar, ac, feat, 0.2)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
