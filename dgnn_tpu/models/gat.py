@@ -17,6 +17,7 @@ import numpy as np
 
 from ..graph.structure import Graph
 from ..ops.gat import gat_aggregate
+from ..ops.naive import gat_naive
 
 _GAIN_RELU = float(np.sqrt(2.0))
 
@@ -39,6 +40,7 @@ class GATConv(nn.Module):
     residual: bool = False
     activation: Optional[Callable] = None
     use_bias: bool = True
+    impl: str = "fused"  # "fused" (binned/Pallas) | "naive" (DGL-style)
 
     @nn.compact
     def __call__(self, graph: Graph, feat, *, training: bool = False):
@@ -56,10 +58,10 @@ class GATConv(nn.Module):
         key = None
         if training and self.attn_drop > 0.0:
             key = self.make_rng("dropout")
-        rst = gat_aggregate(graph, attn_row, attn_col, x,
-                            negative_slope=self.negative_slope,
-                            attn_drop=self.attn_drop, key=key,
-                            training=training)
+        agg = gat_naive if self.impl == "naive" else gat_aggregate
+        rst = agg(graph, attn_row, attn_col, x,
+                  negative_slope=self.negative_slope,
+                  attn_drop=self.attn_drop, key=key, training=training)
         if self.residual:
             if feat.shape[-1] != h * f:
                 res = nn.Dense(h * f, use_bias=False, kernel_init=init,
@@ -88,6 +90,7 @@ class GAT(nn.Module):
     negative_slope: float = 0.2
     residual: bool = False
     activation: Optional[Callable] = None
+    impl: str = "fused"
 
     @nn.compact
     def __call__(self, graph: Graph, feat, *, training: bool = False):
@@ -102,6 +105,7 @@ class GAT(nn.Module):
                 residual=self.residual,
                 activation=self.activation,
                 use_bias=layer > 0,  # reference: input projection bias=False
+                impl=self.impl,
                 name=f"gat_{layer}",
             )(graph, h, training=training)
             h = h.reshape(h.shape[0], -1)
@@ -111,6 +115,7 @@ class GAT(nn.Module):
             feat_drop=self.feat_drop,
             attn_drop=self.attn_drop,
             negative_slope=self.negative_slope,
+            impl=self.impl,
             name="gat_out",
         )(graph, h, training=training)
         return jnp.mean(logits, axis=1)

@@ -45,11 +45,11 @@ def use_pallas(heads: int, feat: int, width: int, num_segments: int) -> bool:
 
     flag = os.environ.get("DGNN_TPU_PALLAS", "0")
     if flag != "1":
-        # default off until the DMA-gather kernels compile under Mosaic on
-        # real hardware (the XLA gather path is the production default)
+        # opt-in: the DMA-gather kernels require the [N, SUB, 128] layout
+        # below; the XLA gather path is the default everywhere else
         return False
-    return ((heads * feat) % 128 == 0 and width >= 8
-            and num_segments % 8 == 0)
+    return (feat % 128 == 0 and (heads * feat // 128) % 8 == 0
+            and width >= 8 and num_segments % 8 == 0)
 
 
 def lane_mask(count: jax.Array, width: int) -> jax.Array:

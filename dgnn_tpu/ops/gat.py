@@ -72,9 +72,9 @@ def _forward_bin_pallas(width, nbr, edge, row, count, ar, ac, feat, slope, p,
     s = leaky_relu(ar[row][:, None, :] + ac[nbr], slope)  # [S, W, H]
     wmult = (edge_keep(seed, edge, H, p)
              if (training and p > 0) else None)
-    feat2d = feat.reshape(feat.shape[0], H * F)
+    feat3d = feat.astype(jnp.float32).reshape(feat.shape[0], H * F // 128, 128)
     interpret = jax.default_backend() != "tpu"
-    m, l, acc = gat_forward_bin_pallas(nbr, count, s, wmult, feat2d,
+    m, l, acc = gat_forward_bin_pallas(nbr, count, s, wmult, feat3d,
                                        interpret=interpret)
     return m, l, acc.reshape(-1, H, F)
 
@@ -149,8 +149,8 @@ def _dx_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L, g_out, slope,
     if training and p > 0:
         a = a * edge_keep(seed, edge, H, p)
     interpret = jax.default_backend() != "tpu"
-    dx = weighted_gather_accumulate(nbr, a, g_out.reshape(-1, H * F),
-                                    interpret=interpret)
+    g3d = g_out.astype(jnp.float32).reshape(-1, H * F // 128, 128)
+    dx = weighted_gather_accumulate(nbr, a, g3d, interpret=interpret)
     return dx.reshape(-1, H, F)
 
 
@@ -189,8 +189,10 @@ def _attn_pass1_pallas(width, nbr, edge, row, count, ar, ac, M, L, feat,
     H = ar.shape[-1]
     F = feat.shape[-1]
     interpret = jax.default_backend() != "tpu"
-    q2d = g_out[row].reshape(-1, H * F)  # [S, HF] grad rows per segment
-    g = gather_dot(nbr, q2d, feat.reshape(-1, H * F), H,
+    sub = H * F // 128
+    q3d = g_out[row].astype(jnp.float32).reshape(-1, sub, 128)
+    g = gather_dot(nbr, q3d,
+                   feat.astype(jnp.float32).reshape(-1, sub, 128), H,
                    interpret=interpret)  # [S, W, H]
     mask = lane_mask(count, width)
     s_raw = ar[row][:, None, :] + ac[nbr]
@@ -287,6 +289,7 @@ def _gat_fused_fwd(slope, p, training, adj_fwd, adj_bwd, ar, ac, feat, seed):
 
 def _gat_fused_bwd(slope, p, training, res, g_out):
     adj_fwd, adj_bwd, ar, ac, feat, M, L, seed = res
+    g_out = g_out.astype(feat.dtype)
     # Bipartite-general: destination rows (adj_fwd) and source rows (adj_bwd)
     # may be different index spaces (graph shards with halo sources).
     n = adj_fwd.num_rows
@@ -337,7 +340,7 @@ _gat_fused.defvjp(_gat_fused_fwd, _gat_fused_bwd)
 
 def gat_aggregate(graph: Graph, attn_row, attn_col, feat, *,
                   negative_slope: float = 0.2, attn_drop: float = 0.0,
-                  key=None, training: bool = False):
+                  key=None, training: bool = False, gather_dtype=None):
     """Fused GAT neighborhood aggregation.
 
     out[i, h] = sum_j softmax_j(LeakyReLU(attn_row[i,h] + attn_col[j,h]))
@@ -355,6 +358,8 @@ def gat_aggregate(graph: Graph, attn_row, attn_col, feat, *,
       attn_drop: attention dropout probability (training only).
       key: jax PRNG key (required if training and attn_drop > 0).
       training: enables dropout.
+      gather_dtype: optional storage dtype (e.g. jnp.bfloat16) for the
+        neighbor-feature gathers; accumulation is always f32.
     Returns:
       [N, H, F] aggregated features.
     """
@@ -364,5 +369,11 @@ def gat_aggregate(graph: Graph, attn_row, attn_col, feat, *,
         seed = jax.random.bits(key, dtype=jnp.uint32)
     else:
         seed = jnp.uint32(0)
-    return _gat_fused(float(negative_slope), float(attn_drop), bool(training),
-                      graph.fwd, graph.bwd, attn_row, attn_col, feat, seed)
+    if gather_dtype is not None:
+        # halve the bandwidth-dominant neighbor-feature traffic: gathers read
+        # bf16 rows, accumulation stays f32 (preferred_element_type); the
+        # cast's own VJP restores f32 parameter gradients outside.
+        feat = feat.astype(gather_dtype)
+    out = _gat_fused(float(negative_slope), float(attn_drop), bool(training),
+                     graph.fwd, graph.bwd, attn_row, attn_col, feat, seed)
+    return out.astype(jnp.float32)

@@ -52,7 +52,7 @@ def _spmm_bins(adj: BinnedAdj, w_flat, feat):
             mask = lane_mask(count, width)
             w = jnp.where(mask[..., None], w_flat[edge], 0.0)
             acc = weighted_gather_accumulate(
-                nbr, w, feat.reshape(-1, K * F),
+                nbr, w, feat.astype(jnp.float32).reshape(-1, K * F // 128, 128),
                 interpret=jax.default_backend() != "tpu")
             accs.append(acc.reshape(-1, K, F))
             rows.append(row)
@@ -83,8 +83,10 @@ def _sddmm_bins(adj: BinnedAdj, grad_out, feat, num_edges):
         if use_pallas(K, F, width, nbr.shape[0]):
             from .pallas.gather_ops import gather_dot
 
-            g = gather_dot(nbr, grad_out[row].reshape(-1, K * F),
-                           feat.reshape(-1, K * F), K,
+            sub = K * F // 128
+            g = gather_dot(nbr,
+                           grad_out[row].astype(jnp.float32).reshape(-1, sub, 128),
+                           feat.astype(jnp.float32).reshape(-1, sub, 128), K,
                            interpret=jax.default_backend() != "tpu")
             mask = lane_mask(count, width)
             g = jnp.where(mask[..., None], g, 0.0)

@@ -8,10 +8,17 @@ and performs the masked online softmax + weighted accumulation entirely in
 VMEM, touching each neighbor row once (the role of the reference's
 `fused_forward_kernel`'s shmem staging, fused_gatconv_kernel.cu:91-117).
 
-Mosaic-friendly 2-D formulation: per-head weights [W, H] are broadcast
-across each head's F feature lanes with a tiny MXU matmul against a constant
-0/1 "expander" [H, H*F] (expander[h, h*F+f] = 1), avoiding lane-splitting
-reshapes that Mosaic cannot lower.
+TPU layout constraints shape the design (same pattern as the paged-attention
+kernel shipped with JAX): HBM DMAs move whole (8, 128)-tiled trailing blocks,
+so node features are viewed as ``feat3d [N, SUB, 128]`` with ``SUB = H*F/128``
+and dynamic indexing only on the leading (untiled) node axis.  This requires
+``F % 128 == 0`` and ``SUB % 8 == 0`` — i.e. H*F in {1024, 2048, ...} with
+lane-aligned heads; smaller shapes (like the reference's 4x64 config) stay on
+the XLA gather path (ops.common.use_pallas gates dispatch).
+
+Per-head softmax weights [W, H] spread onto each head's F/128 sublanes with a
+constant 0/1 ownership matmul ``R [H, SUB]`` then a lane broadcast — no
+lane-splitting reshapes, which Mosaic cannot lower.
 
 Per grid step (BS segments x W slots): neighbor ids are read from an SMEM
 block and W row-DMAs per segment land in a double-buffered VMEM scratch, so
@@ -33,23 +40,30 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gat_forward_bin_pallas", "head_expander"]
+__all__ = ["gat_forward_bin_pallas", "head_sublane_map", "pallas_shape_ok"]
 
 NEG_INF = float("-inf")
 BS = 8  # segments per grid step
+LANE = 128
 
 
-def head_expander(heads: int, feat: int) -> np.ndarray:
-    """[H, H*F] 0/1 matrix with expander[h, h*F + f] = 1."""
-    e = np.zeros((heads, heads * feat), np.float32)
+def pallas_shape_ok(heads: int, feat: int) -> bool:
+    hf = heads * feat
+    return feat % LANE == 0 and (hf // LANE) % 8 == 0
+
+
+def head_sublane_map(heads: int, feat: int) -> np.ndarray:
+    """[H, SUB] 0/1: head h owns sublanes [h*F/128, (h+1)*F/128)."""
+    sub = heads * feat // LANE
+    per = feat // LANE
+    r = np.zeros((heads, sub), np.float32)
     for h in range(heads):
-        e[h, h * feat:(h + 1) * feat] = 1.0
-    return e
+        r[h, h * per:(h + 1) * per] = 1.0
+    return r
 
 
-def _kernel(count_ref, nbr_ref, s_ref, wmult_ref, exp_ref, feat_hbm,
-            m_ref, l_ref, acc_ref, xbuf, sem, *, bs, width, heads, hf,
-            use_wmult):
+def _kernel(count_ref, nbr_ref, s_ref, wmult_ref, r_ref, feat_hbm,
+            m_ref, l_ref, acc_ref, xbuf, sem, *, bs, width, use_wmult):
     def gather_segment(seg, buf):
         def issue(j, _):
             pltpu.make_async_copy(
@@ -85,18 +99,18 @@ def _kernel(count_ref, nbr_ref, s_ref, wmult_ref, exp_ref, feat_hbm,
         w = jnp.where(mask, jnp.exp(s - m), 0.0)  # [W, H]
         l = jnp.sum(w, axis=0, keepdims=True)  # [1, H]
         w_agg = w * wmult_ref[seg] if use_wmult else w
-        # broadcast head weights over feature lanes: [W,H] @ [H,HF] -> [W,HF]
-        wexp = jnp.dot(w_agg, exp_ref[:], preferred_element_type=jnp.float32)
-        acc = jnp.sum(wexp * xbuf[buf], axis=0, keepdims=True)  # [1, HF]
+        # head weights -> owning sublanes: [W, H] @ [H, SUB] -> [W, SUB]
+        wsub = jnp.dot(w_agg, r_ref[:], preferred_element_type=jnp.float32)
+        acc = jnp.sum(wsub[:, :, None] * xbuf[buf], axis=0)  # [SUB, 128]
         m_ref[pl.ds(seg, 1), :] = m
         l_ref[pl.ds(seg, 1), :] = l
-        acc_ref[pl.ds(seg, 1), :] = acc
+        acc_ref[seg] = acc
         return 0
 
     jax.lax.fori_loop(0, bs, body, 0)
 
 
-def gat_forward_bin_pallas(nbr, count, s, wmult, feat2d, *, interpret=False):
+def gat_forward_bin_pallas(nbr, count, s, wmult, feat3d, *, interpret=False):
     """Run the fused forward over one bin.
 
     Args:
@@ -104,23 +118,24 @@ def gat_forward_bin_pallas(nbr, count, s, wmult, feat2d, *, interpret=False):
       count: [S] int32 valid slots per segment.
       s: [S, W, H] f32 edge scores (LeakyReLU applied, unmasked).
       wmult: [S, W, H] f32 dropout multipliers, or None.
-      feat2d: [N, H*F] f32 node features (H*F a multiple of 128; the caller
-        guarantees via ops.common.use_pallas).
+      feat3d: [N, SUB, 128] f32 node features (SUB = H*F/128; see
+        pallas_shape_ok for the layout requirements).
     Returns:
-      (m [S, H], l [S, H], acc [S, H*F]) per-segment partials.
+      (m [S, H], l [S, H], acc [S, SUB, 128]) per-segment partials.
     """
     seg, width = nbr.shape
     heads = s.shape[-1]
-    hf = feat2d.shape[-1]
+    sub = feat3d.shape[1]
+    feat = sub * LANE // heads
     assert seg % BS == 0, (seg, BS)
     use_wmult = wmult is not None
     if wmult is None:
         wmult = jnp.zeros((seg, 1, heads), jnp.float32)  # placeholder
     wblock = wmult.shape[1]
-    expander = jnp.asarray(head_expander(heads, hf // heads))
+    rmat = jnp.asarray(head_sublane_map(heads, feat))
 
-    kernel = functools.partial(_kernel, bs=BS, width=width, heads=heads,
-                               hf=hf, use_wmult=use_wmult)
+    kernel = functools.partial(_kernel, bs=BS, width=width,
+                               use_wmult=use_wmult)
     m, l, acc = pl.pallas_call(
         kernel,
         grid=(seg // BS,),
@@ -132,7 +147,7 @@ def gat_forward_bin_pallas(nbr, count, s, wmult, feat2d, *, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BS, wblock, heads), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, hf), lambda i: (0, 0),
+            pl.BlockSpec((heads, sub), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # feat stays in HBM
         ],
@@ -141,21 +156,23 @@ def gat_forward_bin_pallas(nbr, count, s, wmult, feat2d, *, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BS, heads), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BS, hf), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BS, sub, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((seg, heads), jnp.float32),
             jax.ShapeDtypeStruct((seg, heads), jnp.float32),
-            jax.ShapeDtypeStruct((seg, hf), jnp.float32),
+            jax.ShapeDtypeStruct((seg, sub, LANE), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, width, hf), jnp.float32),
+            pltpu.VMEM((2, width, sub, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * seg * width * hf,
-            bytes_accessed=seg * width * (hf * 4 + heads * 8) + seg * hf * 4,
+            flops=2 * seg * width * sub * LANE,
+            bytes_accessed=seg * width * (sub * LANE * 4 + heads * 8)
+            + seg * sub * LANE * 4,
             transcendentals=seg * width * heads),
         interpret=interpret,
-    )(count.reshape(-1, 1), nbr, s, wmult, expander, feat2d)
+    )(count.reshape(-1, 1), nbr, s, wmult, rmat, feat3d)
     return m, l, acc

@@ -11,9 +11,9 @@ ops/pallas/gat_forward.py, instead of the XLA gather's materialize-then-read.
 - gather_dot: g[s,w,h] = <q[s,h,:], feat[nbr[s,w]][h,:]>
   (multi-head SDDMM; reference analogue: mhsddmm, mhsddmm_kernel.cu:11-99).
 
-Both use the 2-D "expander" formulation (see gat_forward.py) so Mosaic never
-sees a lane-splitting reshape: per-head scalars [W, H] map to/from feature
-lanes [W, H*F] through a constant 0/1 [H, H*F] matrix on the MXU.
+Layout contract (see gat_forward.py): features as [N, SUB, 128] with SUB =
+H*F/128, F % 128 == 0, SUB % 8 == 0; per-head scalars map to/from their
+owning sublanes via the constant 0/1 matrix `head_sublane_map`.
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gat_forward import head_expander
+from .gat_forward import LANE, head_sublane_map
 
 __all__ = ["weighted_gather_accumulate", "gather_dot"]
 
@@ -67,28 +67,28 @@ def _gather_loop(nbr_ref, feat_hbm, xbuf, sem, width, bs, compute_segment):
     jax.lax.fori_loop(0, bs, body, 0)
 
 
-def _wga_kernel(nbr_ref, wgt_ref, exp_ref, feat_hbm, acc_ref, xbuf, sem, *,
+def _wga_kernel(nbr_ref, wgt_ref, r_ref, feat_hbm, acc_ref, xbuf, sem, *,
                 bs, width):
     def compute(seg, x):
-        wexp = jnp.dot(wgt_ref[seg], exp_ref[:],
-                       preferred_element_type=jnp.float32)  # [W, HF]
-        acc = jnp.sum(wexp * x, axis=0, keepdims=True)  # [1, HF]
-        acc_ref[pl.ds(seg, 1), :] = acc
+        wsub = jnp.dot(wgt_ref[seg], r_ref[:],
+                       preferred_element_type=jnp.float32)  # [W, SUB]
+        acc_ref[seg] = jnp.sum(wsub[:, :, None] * x, axis=0)  # [SUB, 128]
 
     _gather_loop(nbr_ref, feat_hbm, xbuf, sem, width, bs, compute)
 
 
-def weighted_gather_accumulate(nbr, wgt, feat2d, *, interpret=False):
-    """acc[s, :] = sum_w expand(wgt[s, w, :]) * feat2d[nbr[s, w]].
+def weighted_gather_accumulate(nbr, wgt, feat3d, *, interpret=False):
+    """acc[s] = sum_w wgt[s, w, h(sublane)] * feat3d[nbr[s, w]].
 
     nbr: [S, W] int32; wgt: [S, W, H] f32 (invalid slots must be zero);
-    feat2d: [N, H*F] f32.  Returns acc [S, H*F] f32.
+    feat3d: [N, SUB, 128] f32.  Returns acc [S, SUB, 128] f32.
     """
     seg, width = nbr.shape
     heads = wgt.shape[-1]
-    hf = feat2d.shape[-1]
+    sub = feat3d.shape[1]
+    feat = sub * LANE // heads
     assert seg % _BS == 0
-    expander = jnp.asarray(head_expander(heads, hf // heads))
+    rmat = jnp.asarray(head_sublane_map(heads, feat))
     kernel = functools.partial(_wga_kernel, bs=_BS, width=width)
     return pl.pallas_call(
         kernel,
@@ -98,48 +98,49 @@ def weighted_gather_accumulate(nbr, wgt, feat2d, *, interpret=False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_BS, width, heads), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, hf), lambda i: (0, 0),
+            pl.BlockSpec((heads, sub), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((_BS, hf), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_BS, sub, LANE), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((seg, hf), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((seg, sub, LANE), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, width, hf), jnp.float32),
+            pltpu.VMEM((2, width, sub, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * seg * width * hf,
-            bytes_accessed=seg * width * (hf + heads) * 4 + seg * hf * 4,
+            flops=2 * seg * width * sub * LANE,
+            bytes_accessed=seg * width * (sub * LANE + heads) * 4
+            + seg * sub * LANE * 4,
             transcendentals=0),
         interpret=interpret,
-    )(nbr, wgt, expander, feat2d)
+    )(nbr, wgt, rmat, feat3d)
 
 
-def _gdot_kernel(nbr_ref, q_ref, expt_ref, feat_hbm, g_ref, xbuf, sem, *,
+def _gdot_kernel(nbr_ref, q_ref, rt_ref, feat_hbm, g_ref, xbuf, sem, *,
                  bs, width):
     def compute(seg, x):
-        q = q_ref[pl.ds(seg, 1), :]  # [1, HF]
-        xq = x * q  # [W, HF]
-        # sum feature lanes back per head: [W, HF] @ [HF, H]
-        g = jnp.dot(xq, expt_ref[:], preferred_element_type=jnp.float32)
-        g_ref[seg] = g
+        q = q_ref[seg]  # [SUB, 128]
+        t = jnp.sum(x * q[None], axis=2)  # [W, SUB] lane reduction
+        # collapse each head's sublanes: [W, SUB] @ [SUB, H]
+        g_ref[seg] = jnp.dot(t, rt_ref[:], preferred_element_type=jnp.float32)
 
     _gather_loop(nbr_ref, feat_hbm, xbuf, sem, width, bs, compute)
 
 
-def gather_dot(nbr, q2d, feat2d, heads, *, interpret=False):
-    """g[s, w, h] = <q2d[s].reshape(H,F)[h], feat2d[nbr[s,w]].reshape(H,F)[h]>.
+def gather_dot(nbr, q3d, feat3d, heads, *, interpret=False):
+    """g[s, w, h] = <q3d[s], feat3d[nbr[s,w]]> restricted to head h's lanes.
 
-    nbr: [S, W] int32; q2d: [S, H*F] f32 (e.g. grad_out rows gathered by
-    segment); feat2d: [N, H*F] f32.  Returns g [S, W, H] f32 (padded slots
-    contain garbage — caller masks).
+    nbr: [S, W] int32; q3d: [S, SUB, 128] f32 (e.g. grad_out rows gathered by
+    segment); feat3d: [N, SUB, 128] f32.  Returns g [S, W, H] f32 (padded
+    slots contain garbage — caller masks).
     """
     seg, width = nbr.shape
-    hf = feat2d.shape[-1]
+    sub = feat3d.shape[1]
+    feat = sub * LANE // heads
     assert seg % _BS == 0
-    expander_t = jnp.asarray(head_expander(heads, hf // heads).T)
+    rmat_t = jnp.asarray(head_sublane_map(heads, feat).T)
     kernel = functools.partial(_gdot_kernel, bs=_BS, width=width)
     return pl.pallas_call(
         kernel,
@@ -147,9 +148,9 @@ def gather_dot(nbr, q2d, feat2d, heads, *, interpret=False):
         in_specs=[
             pl.BlockSpec((_BS, width), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_BS, hf), lambda i: (i, 0),
+            pl.BlockSpec((_BS, sub, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hf, heads), lambda i: (0, 0),
+            pl.BlockSpec((sub, heads), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -157,12 +158,13 @@ def gather_dot(nbr, q2d, feat2d, heads, *, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((seg, width, heads), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, width, hf), jnp.float32),
+            pltpu.VMEM((2, width, sub, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * seg * width * hf,
-            bytes_accessed=seg * width * (hf + heads) * 4 + seg * hf * 4,
+            flops=2 * seg * width * sub * LANE,
+            bytes_accessed=seg * width * (sub * LANE + heads) * 4
+            + seg * sub * LANE * 4,
             transcendentals=0),
         interpret=interpret,
-    )(nbr, q2d, expander_t, feat2d)
+    )(nbr, q3d, rmat_t, feat3d)

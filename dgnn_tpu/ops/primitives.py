@@ -39,7 +39,7 @@ def _spmm_adj(adj: BinnedAdj, weights, feat):
 
             w = jnp.where(mask[..., None], weights[edge], 0.0)
             acc = weighted_gather_accumulate(
-                nbr, w, feat.reshape(-1, h * f),
+                nbr, w, feat.astype(jnp.float32).reshape(-1, h * f // 128, 128),
                 interpret=jax.default_backend() != "tpu").reshape(-1, h, f)
         else:
             chunk = chunk_rows_for_budget(width, h * f)
@@ -70,8 +70,9 @@ def _sddmm_adj(adj: BinnedAdj, lhs, rhs, num_edges):
         if use_pallas(h, f, width, nbr.shape[0]):
             from .pallas.gather_ops import gather_dot
 
-            g = gather_dot(nbr, lhs[row].reshape(-1, h * f),
-                           rhs.reshape(-1, h * f), h,
+            sub = h * f // 128
+            g = gather_dot(nbr, lhs[row].astype(jnp.float32).reshape(-1, sub, 128),
+                           rhs.astype(jnp.float32).reshape(-1, sub, 128), h,
                            interpret=jax.default_backend() != "tpu")
             g = jnp.where(mask[..., None], g, 0.0)
             out = out + _segment_sum(g.reshape(-1, h), edge.reshape(-1),

@@ -38,7 +38,7 @@ def main(args):
     model = GAT(num_layers=args.n_layers, n_hidden=args.n_hidden,
                 n_classes=data.n_classes, heads=heads,
                 feat_drop=args.dropout, attn_drop=args.attn_drop,
-                negative_slope=args.negative_slope)
+                negative_slope=args.negative_slope, impl=args.impl)
 
     key = jax.random.PRNGKey(args.seed)
     params = model.init(key, graph, features)
@@ -101,7 +101,7 @@ def main(args):
     print("inference time:", inference_time)
 
     if args.output is not None:
-        append_csv_row(args.output, "train_GAT_dgnn_tpu",
+        append_csv_row(args.output, f"train_GAT_dgnn_tpu_{args.impl}",
                        f"{args.dataset} heads={args.n_heads} hidden_dim={args.n_hidden}",
                        train_time, inference_time, max_mb, acc)
 
@@ -121,4 +121,7 @@ if __name__ == "__main__":
     parser.add_argument("--output", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--impl", type=str, default="fused",
+                        choices=["fused", "naive"],
+                        help="fused binned kernels vs DGL-style baseline")
     main(parser.parse_args())

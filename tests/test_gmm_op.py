@@ -50,7 +50,7 @@ def test_pallas_gmm_matches_dense(rng):
     """GMM fwd+bwd with the Pallas kernels forced on (interpret mode)."""
     import os
 
-    g, feat, pseudo, mu, isig, eid = _setup(rng, n=48, deg=5, k=2, f=64,
+    g, feat, pseudo, mu, isig, eid = _setup(rng, n=48, deg=5, k=8, f=128,
                                             widths=(8,))
 
     def loss_fused(feat, pseudo, mu, isig):

@@ -14,7 +14,7 @@ from dgnn_tpu.ops.gat import _forward_bin, _forward_bin_pallas, gat_aggregate
 from tests.conftest import random_graph
 
 
-def _setup(rng, n=64, deg=6, h=2, f=64, widths=(16,)):
+def _setup(rng, n=64, deg=6, h=8, f=128, widths=(16,)):
     src, dst = random_graph(rng, n, deg)
     g = build_graph(src, dst, n, widths=widths)
     ar = jnp.asarray(rng.normal(size=(n, h)), jnp.float32)
@@ -37,7 +37,7 @@ def test_pallas_fwd_bin_matches_xla(rng):
 
 
 def test_pallas_fwd_bin_with_dropout(rng):
-    g, ar, ac, feat = _setup(rng, h=4, f=32)
+    g, ar, ac, feat = _setup(rng, h=16, f=128)
     seed = jnp.uint32(1234)
     for width, nbr, edge, row, count in g.fwd.bins():
         m0, l0, acc0 = _forward_bin(width, nbr, edge, row, count, ar, ac,
@@ -51,7 +51,7 @@ def test_pallas_fwd_bin_with_dropout(rng):
 
 def test_pallas_backward_matches_dense(rng):
     """Full custom_vjp with Pallas kernels forced on (fwd + dX + SDDMM)."""
-    g, ar, ac, feat = _setup(rng, n=64, deg=5, h=2, f=64, widths=(8,))
+    g, ar, ac, feat = _setup(rng, n=64, deg=5, h=8, f=128, widths=(8,))
     adj = reference.dense_adj(np.asarray(g.row_ptr), np.asarray(g.col_ind),
                               g.num_nodes)
 
@@ -74,7 +74,7 @@ def test_pallas_backward_matches_dense(rng):
 
 def test_pallas_full_aggregate_forced(rng):
     """End-to-end gat_aggregate with the Pallas path forced on (interpret)."""
-    g, ar, ac, feat = _setup(rng, n=80, deg=5, h=2, f=64, widths=(8, 32))
+    g, ar, ac, feat = _setup(rng, n=80, deg=5, h=8, f=128, widths=(8, 32))
     adj = reference.dense_adj(np.asarray(g.row_ptr), np.asarray(g.col_ind),
                               g.num_nodes)
     os.environ["DGNN_TPU_PALLAS"] = "1"
