@@ -11,14 +11,29 @@ design:
   segments of split mega-rows are merged with a log-sum-exp combine — the
   same streaming-softmax structure as the reference's 3-pass warp kernel and
   its tile-balanced variant, but deterministic and atomics-free.
+- **Per-edge random access is the TPU bottleneck** (row gathers run at
+  ~75M rows/s on v5e regardless of row size — rate-bound, not
+  bandwidth-bound; scatters are far worse).  The whole op is therefore
+  organised as exactly THREE edge-sized gather passes per training step,
+  with zero edge-sized scatters or permutes:
+    pass A (fwd, CSR bins):  gather [x | attn_col] -> online softmax -> out
+    pass C (bwd, CSR bins):  gather [x | attn_col]; resident grad_out rows
+                             give the SDDMM; per-DST sums (ws, t1, t2) are
+                             in-pass segment reductions -> d attn_row
+    pass B (bwd, CSC bins):  gather [grad_out | attn_row | M | L | ws];
+                             per-SRC sums give dX and d attn_col in-pass
+  Every node-scalar operand a pass needs is CONCATENATED into the gathered
+  row (gathers are rate-bound, so wider rows are free); per-dst quantities
+  consumed on the src side (ws) ride the same trick.  The reference instead
+  runs 3 backward kernels with an atomicAdd for grad_attn_col
+  (fused_gatconv_kernel.cu:957) — on TPU that scatter would be the slowest
+  op in the whole model.
 - Backward is a `jax.custom_vjp` that saves only the per-row softmax stats
   (edge_max, edge_sum) [N, H] and *recomputes* per-edge attention, exactly
-  the reference's memory-saving trade (SURVEY.md §2.2 invariant 1):
-    dX      : SpMM over the transposed (CSC-binned) graph,
-    d(attn) : softmax backward via two segment passes (no atomics; the
-              reference uses atomicAdd for grad_attn_col, :957).
-- Attention dropout is re-derived from (seed, edge id, head) with a stateless
-  hash (ops/common.py), identical in both layouts via global CSR edge ids.
+  the reference's memory-saving trade (SURVEY.md §2.2 invariant 1).
+- Attention dropout is re-derived from (seed, edge id, head) with a
+  stateless hash (ops/common.py), identical in every layout via global CSR
+  edge ids — the reference materializes a curand [nnz, h] mask instead.
 """
 
 from __future__ import annotations
@@ -39,6 +54,7 @@ from .common import (
     leaky_relu_grad,
     scan_chunked,
 )
+from .common import use_pallas as _use_pallas
 
 __all__ = ["gat_aggregate"]
 
@@ -47,23 +63,32 @@ def _segment_sum(x, ids, n):
     return jax.ops.segment_sum(x, ids, num_segments=n)
 
 
-from .common import use_pallas as _use_pallas
-
-
-def _recompute_attn(mask, s_raw, M_rows, L_rows):
+def _recompute_attn(mask, s, M_rows, L_rows):
     """Per-slot softmax weight a_e = exp(s - M_row) / L_row, masked."""
-    a = jnp.exp(s_raw - M_rows) / jnp.maximum(L_rows, 1e-20)
+    a = jnp.exp(s - M_rows) / jnp.maximum(L_rows, 1e-20)
     return jnp.where(mask[..., None], a, 0.0)
 
 
+def _concat_rows(*parts):
+    """Concatenate per-node operands into one gatherable row table.
+
+    Gathers are rate-bound per ROW on TPU, so folding every scalar operand a
+    pass needs into the same row makes the extra operands free, where a
+    second [E]-sized gather would double the pass cost.
+    """
+    parts = [p.reshape(p.shape[0], -1) for p in parts]
+    dt = jnp.result_type(*[p.dtype for p in parts])
+    return jnp.concatenate([p.astype(dt) for p in parts], axis=1)
+
+
 # ---------------------------------------------------------------------------
-# Forward
+# Forward (pass A)
 # ---------------------------------------------------------------------------
 
 
 def _forward_bin_pallas(width, nbr, edge, row, count, ar, ac, feat, slope, p,
                         seed, training):
-    """Fused-kernel path: scores in XLA (negligible traffic), neighbor-row
+    """Fused-kernel path (wide rows, H*F >= 1024): scores in XLA, neighbor-row
     DMA gather + online softmax + weighted accumulation in VMEM."""
     from .pallas.gat_forward import gat_forward_bin_pallas
 
@@ -79,38 +104,43 @@ def _forward_bin_pallas(width, nbr, edge, row, count, ar, ac, feat, slope, p,
     return m, l, acc.reshape(-1, H, F)
 
 
-def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, slope, p, seed, training):
+def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, xcat, slope, p,
+                 seed, training):
     """Per-bin streaming pass: per-segment (max, sumexp, weighted acc)."""
     H = ar.shape[-1]
     F = feat.shape[-1]
     if _use_pallas(H, F, width, nbr.shape[0]):
         return _forward_bin_pallas(width, nbr, edge, row, count, ar, ac, feat,
                                    slope, p, seed, training)
-    chunk = chunk_rows_for_budget(width, H * F)
+    chunk = chunk_rows_for_budget(width, H * F + H)
 
     def fn(nbr_c, edge_c, row_c, count_c):
         mask = lane_mask(count_c, width)  # [S, W]
-        s = leaky_relu(ar[row_c][:, None, :] + ac[nbr_c], slope)  # [S, W, H]
+        g = xcat[nbr_c]  # [S, W, HF+H] — the ONE edge-sized gather
+        x = g[..., :H * F].reshape(g.shape[0], width, H, F)
+        ac_j = g[..., H * F:].astype(jnp.float32)
+        s = leaky_relu(ar[row_c][:, None, :] + ac_j, slope)  # [S, W, H]
         s = jnp.where(mask[..., None], s, NEG_INF)
         m = jnp.max(s, axis=1)  # [S, H]; -inf for empty segments
         w = jnp.where(mask[..., None], jnp.exp(s - m[:, None, :]), 0.0)
         l = jnp.sum(w, axis=1)  # [S, H]
         w_agg = w * edge_keep(seed, edge_c, H, p) if (training and p > 0) else w
-        x = feat[nbr_c]  # [S, W, H, F] — the bandwidth-dominant gather
         acc = jnp.einsum("swh,swhf->shf", w_agg, x,
                          preferred_element_type=jnp.float32)
         return (m, l, acc), ()
 
-    (m, l, acc), _ = scan_chunked(fn, (nbr, edge, row, count), nbr.shape[0], chunk, ())
+    (m, l, acc), _ = scan_chunked(fn, (nbr, edge, row, count), nbr.shape[0],
+                                  chunk, ())
     return m, l, acc
 
 
 def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training):
     n = adj.num_rows
+    xcat = _concat_rows(feat, ac)
     ms, ls, accs, rows = [], [], [], []
     for width, nbr, edge, row, count in adj.bins():
         m, l, acc = _forward_bin(width, nbr, edge, row, count, ar, ac, feat,
-                                 slope, p, seed, training)
+                                 xcat, slope, p, seed, training)
         ms.append(m)
         ls.append(l)
         accs.append(acc)
@@ -131,59 +161,14 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training):
 
 
 # ---------------------------------------------------------------------------
-# Backward
+# Backward pass C: CSR bins -> per-destination sums (ws, t1, t2)
 # ---------------------------------------------------------------------------
 
 
-def _dx_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L, g_out, slope,
-                   p, seed, training):
-    """Fused-kernel dX: attention recomputed in XLA (edge-scalar traffic),
-    grad_out rows streamed once by the weighted-gather kernel."""
-    from .pallas.gather_ops import weighted_gather_accumulate
-
-    H = ar.shape[-1]
-    F = g_out.shape[-1]
-    mask = lane_mask(count, width)
-    s_raw = ar[nbr] + ac[row][:, None, :]
-    a = _recompute_attn(mask, leaky_relu(s_raw, slope), M[nbr], L[nbr])
-    if training and p > 0:
-        a = a * edge_keep(seed, edge, H, p)
-    interpret = jax.default_backend() != "tpu"
-    g3d = g_out.astype(jnp.float32).reshape(-1, H * F // 128, 128)
-    dx = weighted_gather_accumulate(nbr, a, g3d, interpret=interpret)
-    return dx.reshape(-1, H, F)
-
-
-def _dx_bin(width, nbr, edge, row, count, ar, ac, M, L, g_out, slope, p, seed, training):
-    """Transposed SpMM: per-source-segment dX partial (reference analogue:
-    mhspmm_backward_kernel, fused_gatconv_kernel.cu:712-763).
-    Here row = source node, nbr = destination rows."""
-    H = ar.shape[-1]
-    F = g_out.shape[-1]
-    if _use_pallas(H, F, width, nbr.shape[0]):
-        return _dx_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L,
-                              g_out, slope, p, seed, training)
-    chunk = chunk_rows_for_budget(width, H * F)
-
-    def fn(nbr_c, edge_c, row_c, count_c):
-        mask = lane_mask(count_c, width)
-        s_raw = ar[nbr_c] + ac[row_c][:, None, :]  # [S, W, H]
-        a = _recompute_attn(mask, leaky_relu(s_raw, slope), M[nbr_c], L[nbr_c])
-        if training and p > 0:
-            a = a * edge_keep(seed, edge_c, H, p)
-        g = g_out[nbr_c]  # [S, W, H, F]
-        dx = jnp.einsum("swh,swhf->shf", a, g,
-                        preferred_element_type=jnp.float32)
-        return (dx,), ()
-
-    (dx,), _ = scan_chunked(fn, (nbr, edge, row, count), nbr.shape[0], chunk, ())
-    return dx
-
-
-def _attn_pass1_pallas(width, nbr, edge, row, count, ar, ac, M, L, feat,
-                       g_out, slope, p, seed, training, n_src):
-    """Fused-kernel SDDMM (reference analogue: mhsddmm) + XLA epilogue for
-    the softmax-backward edge scalars."""
+def _bwd_csr_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L, feat,
+                        g_out, slope, p, seed, training):
+    """Wide-row path: SDDMM via the gather_dot DMA kernel (reference
+    analogue: mhsddmm, mhsddmm_kernel.cu:11-99), epilogue in XLA."""
     from .pallas.gather_ops import gather_dot
 
     H = ar.shape[-1]
@@ -191,83 +176,132 @@ def _attn_pass1_pallas(width, nbr, edge, row, count, ar, ac, M, L, feat,
     interpret = jax.default_backend() != "tpu"
     sub = H * F // 128
     q3d = g_out[row].astype(jnp.float32).reshape(-1, sub, 128)
-    g = gather_dot(nbr, q3d,
-                   feat.astype(jnp.float32).reshape(-1, sub, 128), H,
-                   interpret=interpret)  # [S, W, H]
+    ge = gather_dot(nbr, q3d,
+                    feat.astype(jnp.float32).reshape(-1, sub, 128), H,
+                    interpret=interpret)  # [S, W, H]
     mask = lane_mask(count, width)
     s_raw = ar[row][:, None, :] + ac[nbr]
     a = _recompute_attn(mask, leaky_relu(s_raw, slope), M[row][:, None, :],
                         L[row][:, None, :])
-    if training and p > 0:
-        g = g * edge_keep(seed, edge, H, p)
+    ah = a * edge_keep(seed, edge, H, p) if (training and p > 0) else a
     d = leaky_relu_grad(s_raw, slope)
-    q = a * g  # a==0 on padded slots masks gather_dot garbage
-    qd = q * d
-    u1 = _segment_sum(qd.reshape(-1, H), nbr.reshape(-1), n_src)
-    return jnp.sum(q, axis=1), jnp.sum(qd, axis=1), u1
+    ge = ge * a_nonzero_mask(a)  # mask gather_dot garbage on padded slots
+    ws_p = jnp.sum(ah * ge, axis=1)
+    t1_p = jnp.sum(ah * ge * d, axis=1)
+    t2_p = jnp.sum(jnp.where(mask[..., None], a * d, 0.0), axis=1)
+    return ws_p, t1_p, t2_p
 
 
-def _attn_pass1_bin(width, nbr, edge, row, count, ar, ac, M, L, feat, g_out,
-                    slope, p, seed, training, n_src):
-    """SDDMM + first softmax-backward pass over the forward (CSR) bins
+def a_nonzero_mask(a):
+    return jnp.where(a > 0, 1.0, 0.0)
+
+
+def _bwd_csr_bin(width, nbr, edge, row, count, ar, ac, M, L, feat, xcat,
+                 g_out, slope, p, seed, training):
+    """SDDMM + per-destination softmax-backward sums, one gather
     (reference analogue: mhsddmm + fused_backward_kernel pass 1,
-    fused_gatconv_kernel.cu:814-931).  Emits per-segment
-    ws_part  = sum_w a * g~           (-> weightSum rows)
-    t1_part  = sum_w a * g~ * d       (-> grad_attn_row term 1)
-    and scatters u1 = a * g~ * d over source columns."""
+    fused_gatconv_kernel.cu:814-931 — without its second pass or atomics):
+      ws = sum_j a^_ij g_ij      t1 = sum_j a^_ij g_ij d_ij
+      t2 = sum_j a_ij d_ij       (d attn_row = t1 - ws * t2)
+    """
     H = ar.shape[-1]
     F = feat.shape[-1]
     if _use_pallas(H, F, width, nbr.shape[0]):
-        return _attn_pass1_pallas(width, nbr, edge, row, count, ar, ac, M, L,
-                                  feat, g_out, slope, p, seed, training, n_src)
-    chunk = chunk_rows_for_budget(width, 2 * H * F)
+        return _bwd_csr_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L,
+                                   feat, g_out, slope, p, seed, training)
+    chunk = chunk_rows_for_budget(width, 2 * (H * F + H))
 
     def fn(nbr_c, edge_c, row_c, count_c):
         mask = lane_mask(count_c, width)
-        s_raw = ar[row_c][:, None, :] + ac[nbr_c]
-        a = _recompute_attn(mask, leaky_relu(s_raw, slope), M[row_c][:, None, :],
-                            L[row_c][:, None, :])
-        g = jnp.einsum("shf,swhf->swh", g_out[row_c], feat[nbr_c],
-                       preferred_element_type=jnp.float32)
-        if training and p > 0:
-            g = g * edge_keep(seed, edge_c, H, p)
+        g = xcat[nbr_c]  # [S, W, HF+H] — the ONE edge-sized gather
+        x = g[..., :H * F].reshape(g.shape[0], width, H, F)
+        ac_j = g[..., H * F:].astype(jnp.float32)
+        s_raw = ar[row_c][:, None, :] + ac_j
+        a = _recompute_attn(mask, leaky_relu(s_raw, slope),
+                            M[row_c][:, None, :], L[row_c][:, None, :])
+        ah = a * edge_keep(seed, edge_c, H, p) if (training and p > 0) else a
+        ge = jnp.einsum("shf,swhf->swh", g_out[row_c], x,
+                        preferred_element_type=jnp.float32)
         d = leaky_relu_grad(s_raw, slope)
-        q = a * g  # [S, W, H]
-        qd = q * d
-        u1 = _segment_sum(qd.reshape(-1, H), nbr_c.reshape(-1), n_src)
-        return (jnp.sum(q, axis=1), jnp.sum(qd, axis=1)), (u1,)
+        ws_p = jnp.sum(ah * ge, axis=1)  # [S, H]
+        t1_p = jnp.sum(ah * ge * d, axis=1)
+        t2_p = jnp.sum(jnp.where(mask[..., None], a * d, 0.0), axis=1)
+        return (ws_p, t1_p, t2_p), ()
 
-    (ws_part, t1_part), (u1,) = scan_chunked(
-        fn, (nbr, edge, row, count), nbr.shape[0], chunk,
-        (jnp.zeros((n_src, H), jnp.float32),),
-    )
-    return ws_part, t1_part, u1
+    (ws_p, t1_p, t2_p), _ = scan_chunked(fn, (nbr, edge, row, count),
+                                         nbr.shape[0], chunk, ())
+    return ws_p, t1_p, t2_p
 
 
-def _attn_pass2_bin(width, nbr, edge, row, count, ar, ac, M, L, ws,
-                    slope, n_src):
-    """Second softmax-backward pass (no feature gathers): per-segment
-    t2_part = sum_w a * d and scatter u2 = a * d * ws[row] over columns
-    (reference analogue: fused_backward_kernel pass 2 with its
-    grad_attn_col atomicAdd replaced by a segment scatter, :952-967)."""
+# ---------------------------------------------------------------------------
+# Backward pass B: CSC bins -> dX and d attn_col, per-source sums
+# ---------------------------------------------------------------------------
+
+
+def _bwd_csc_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L, ws, feat,
+                        g_out, slope, p, seed, training):
+    """Wide-row path: dX via the weighted-gather DMA kernel (reference
+    analogue: mhspmm_backward_kernel, fused_gatconv_kernel.cu:712-763),
+    g_e via gather_dot."""
+    from .pallas.gather_ops import gather_dot, weighted_gather_accumulate
+
     H = ar.shape[-1]
-    chunk = chunk_rows_for_budget(width, 4 * H)
+    F = g_out.shape[-1]
+    interpret = jax.default_backend() != "tpu"
+    sub = H * F // 128
+    mask = lane_mask(count, width)
+    s_raw = ar[nbr] + ac[row][:, None, :]
+    a = _recompute_attn(mask, leaky_relu(s_raw, slope), M[nbr], L[nbr])
+    ah = a * edge_keep(seed, edge, H, p) if (training and p > 0) else a
+    g3d = g_out.astype(jnp.float32).reshape(-1, sub, 128)
+    dx = weighted_gather_accumulate(nbr, ah, g3d, interpret=interpret)
+    x3d = feat[row].astype(jnp.float32).reshape(-1, sub, 128)
+    ge = gather_dot(nbr, x3d, g3d, H, interpret=interpret)
+    ge = ge * a_nonzero_mask(a)
+    u = (ah * ge - a * ws[nbr]) * leaky_relu_grad(s_raw, slope)
+    return dx.reshape(-1, H, F), jnp.sum(u, axis=1)
+
+
+def _bwd_csc_bin(width, nbr, edge, row, count, ar, ac, M, L, ws, feat, zcat,
+                 g_out, slope, p, seed, training):
+    """Transposed SpMM + d attn_col, one gather over the CSC bins.  Here
+    row = source node, nbr = destination rows; ws rides in the gathered row
+    so the (per-dst) weightSum never needs an edge-sized permute:
+      dX_j     = sum_i a^_ij grad_out_i
+      d ac_j   = sum_i (a^_ij g_ij - a_ij ws_i) d_ij
+    (reference analogue: mhspmm_backward_kernel + the grad_attn_col
+    atomicAdd, fused_gatconv_kernel.cu:712-763, :957 — scatter-free here.)
+    """
+    H = ar.shape[-1]
+    F = g_out.shape[-1]
+    if _use_pallas(H, F, width, nbr.shape[0]):
+        return _bwd_csc_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L,
+                                   ws, feat, g_out, slope, p, seed, training)
+    chunk = chunk_rows_for_budget(width, 2 * (H * F + 4 * H))
+    HF = H * F
 
     def fn(nbr_c, edge_c, row_c, count_c):
         mask = lane_mask(count_c, width)
-        s_raw = ar[row_c][:, None, :] + ac[nbr_c]
-        a = _recompute_attn(mask, leaky_relu(s_raw, slope), M[row_c][:, None, :],
-                            L[row_c][:, None, :])
-        ad = a * leaky_relu_grad(s_raw, slope)  # [S, W, H]
-        u2 = _segment_sum((ad * ws[row_c][:, None, :]).reshape(-1, H),
-                          nbr_c.reshape(-1), n_src)
-        return (jnp.sum(ad, axis=1),), (u2,)
+        z = zcat[nbr_c]  # [S, W, HF+4H] — the ONE edge-sized gather
+        gi = z[..., :HF].reshape(z.shape[0], width, H, F)
+        sc = z[..., HF:].astype(jnp.float32)
+        ar_i = sc[..., :H]
+        M_i = sc[..., H:2 * H]
+        L_i = sc[..., 2 * H:3 * H]
+        ws_i = sc[..., 3 * H:]
+        s_raw = ar_i + ac[row_c][:, None, :]  # [S, W, H]
+        a = _recompute_attn(mask, leaky_relu(s_raw, slope), M_i, L_i)
+        ah = a * edge_keep(seed, edge_c, H, p) if (training and p > 0) else a
+        dx_p = jnp.einsum("swh,swhf->shf", ah, gi,
+                          preferred_element_type=jnp.float32)
+        ge = jnp.einsum("shf,swhf->swh", feat[row_c].astype(jnp.float32), gi,
+                        preferred_element_type=jnp.float32)
+        u = (ah * ge - a * ws_i) * leaky_relu_grad(s_raw, slope)
+        return (dx_p, jnp.sum(u, axis=1)), ()
 
-    (t2_part,), (u2,) = scan_chunked(
-        fn, (nbr, edge, row, count), nbr.shape[0], chunk,
-        (jnp.zeros((n_src, H), jnp.float32),),
-    )
-    return t2_part, u2
+    (dx_p, dac_p), _ = scan_chunked(fn, (nbr, edge, row, count), nbr.shape[0],
+                                    chunk, ())
+    return dx_p, dac_p
 
 
 # ---------------------------------------------------------------------------
@@ -294,43 +328,39 @@ def _gat_fused_bwd(slope, p, training, res, g_out):
     # may be different index spaces (graph shards with halo sources).
     n = adj_fwd.num_rows
     n_src = adj_bwd.num_rows
-    H = ar.shape[-1]
 
-    # dX over transposed bins (recomputed attention already includes 1/L)
-    dxs, rows_b = [], []
-    for width, nbr, edge, row, count in adj_bwd.bins():
-        dxs.append(_dx_bin(width, nbr, edge, row, count, ar, ac, M, L, g_out,
-                           slope, p, seed, training))
-        rows_b.append(row)
-    d_feat = _segment_sum(jnp.concatenate(dxs), jnp.concatenate(rows_b), n_src)
-    d_feat = d_feat.astype(feat.dtype)
-
-    # attention grads over forward bins: two segment passes
-    ws_parts, t1_parts, rows_f = [], [], []
-    u1 = jnp.zeros((n_src, H), jnp.float32)
+    # Pass C over forward (CSR) bins: per-destination sums.
+    xcat = _concat_rows(feat, ac)
+    ws_parts, t1_parts, t2_parts, rows_f = [], [], [], []
     for width, nbr, edge, row, count in adj_fwd.bins():
-        wsp, t1p, u1b = _attn_pass1_bin(width, nbr, edge, row, count, ar, ac,
-                                        M, L, feat, g_out, slope, p, seed,
-                                        training, n_src)
+        wsp, t1p, t2p = _bwd_csr_bin(width, nbr, edge, row, count, ar, ac, M,
+                                     L, feat, xcat, g_out, slope, p, seed,
+                                     training)
         ws_parts.append(wsp)
         t1_parts.append(t1p)
+        t2_parts.append(t2p)
         rows_f.append(row)
-        u1 = u1 + u1b
     row_all = jnp.concatenate(rows_f)
     ws = _segment_sum(jnp.concatenate(ws_parts), row_all, n)  # [N, H]
     t1 = _segment_sum(jnp.concatenate(t1_parts), row_all, n)
-
-    t2_parts = []
-    u2 = jnp.zeros((n_src, H), jnp.float32)
-    for width, nbr, edge, row, count in adj_fwd.bins():
-        t2p, u2b = _attn_pass2_bin(width, nbr, edge, row, count, ar, ac, M, L,
-                                   ws, slope, n_src)
-        t2_parts.append(t2p)
-        u2 = u2 + u2b
     t2 = _segment_sum(jnp.concatenate(t2_parts), row_all, n)
-
     d_ar = (t1 - ws * t2).astype(ar.dtype)
-    d_ac = (u1 - u2).astype(ac.dtype)
+
+    # Pass B over transposed (CSC) bins: dX and d attn_col, per-source sums.
+    zcat = _concat_rows(g_out, ar, M, L, ws)
+    dx_parts, dac_parts, rows_b = [], [], []
+    for width, nbr, edge, row, count in adj_bwd.bins():
+        dxp, dacp = _bwd_csc_bin(width, nbr, edge, row, count, ar, ac, M, L,
+                                 ws, feat, zcat, g_out, slope, p, seed,
+                                 training)
+        dx_parts.append(dxp)
+        dac_parts.append(dacp)
+        rows_b.append(row)
+    rows_b = jnp.concatenate(rows_b)
+    d_feat = _segment_sum(jnp.concatenate(dx_parts), rows_b,
+                          n_src).astype(feat.dtype)
+    d_ac = _segment_sum(jnp.concatenate(dac_parts), rows_b,
+                        n_src).astype(ac.dtype)
     return (float0_like(adj_fwd), float0_like(adj_bwd), d_ar, d_ac, d_feat,
             float0_like(seed))
 
@@ -370,9 +400,9 @@ def gat_aggregate(graph: Graph, attn_row, attn_col, feat, *,
     else:
         seed = jnp.uint32(0)
     if gather_dtype is not None:
-        # halve the bandwidth-dominant neighbor-feature traffic: gathers read
-        # bf16 rows, accumulation stays f32 (preferred_element_type); the
-        # cast's own VJP restores f32 parameter gradients outside.
+        # shrink the gathered rows (and chunk footprint); accumulation stays
+        # f32 (preferred_element_type); the cast's own VJP restores f32
+        # parameter gradients outside.
         feat = feat.astype(gather_dtype)
     out = _gat_fused(float(negative_slope), float(attn_drop), bool(training),
                      graph.fwd, graph.bwd, attn_row, attn_col, feat, seed)

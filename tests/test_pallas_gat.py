@@ -10,7 +10,8 @@ import pytest
 
 from dgnn_tpu.graph.structure import build_graph
 from dgnn_tpu.ops import reference
-from dgnn_tpu.ops.gat import _forward_bin, _forward_bin_pallas, gat_aggregate
+from dgnn_tpu.ops.gat import (_concat_rows, _forward_bin,
+                               _forward_bin_pallas, gat_aggregate)
 from tests.conftest import random_graph
 
 
@@ -27,8 +28,9 @@ def test_pallas_fwd_bin_matches_xla(rng):
     g, ar, ac, feat = _setup(rng)
     seed = jnp.uint32(0)
     for width, nbr, edge, row, count in g.fwd.bins():
+        xcat = _concat_rows(feat, ac)
         m0, l0, acc0 = _forward_bin(width, nbr, edge, row, count, ar, ac,
-                                    feat, 0.2, 0.0, seed, False)
+                                    feat, xcat, 0.2, 0.0, seed, False)
         m1, l1, acc1 = _forward_bin_pallas(width, nbr, edge, row, count, ar,
                                            ac, feat, 0.2, 0.0, seed, False)
         np.testing.assert_allclose(m1, m0, rtol=1e-6, atol=1e-6)
@@ -40,8 +42,9 @@ def test_pallas_fwd_bin_with_dropout(rng):
     g, ar, ac, feat = _setup(rng, h=16, f=128)
     seed = jnp.uint32(1234)
     for width, nbr, edge, row, count in g.fwd.bins():
+        xcat = _concat_rows(feat, ac)
         m0, l0, acc0 = _forward_bin(width, nbr, edge, row, count, ar, ac,
-                                    feat, 0.2, 0.4, seed, True)
+                                    feat, xcat, 0.2, 0.4, seed, True)
         m1, l1, acc1 = _forward_bin_pallas(width, nbr, edge, row, count, ar,
                                            ac, feat, 0.2, 0.4, seed, True)
         np.testing.assert_allclose(m1, m0, rtol=1e-6, atol=1e-6)
