@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["knn_graph"]
+__all__ = ["knn_graph", "knn_mask_neg"]
 
 
 def knn_graph(x: jax.Array, k: int) -> jax.Array:
@@ -34,3 +34,22 @@ def knn_graph(x: jax.Array, k: int) -> jax.Array:
     _, idx = jax.lax.top_k(-d2, k)  # [B, P, k]
     offs = (jnp.arange(b, dtype=jnp.int32) * p)[:, None, None]
     return (idx.astype(jnp.int32) + offs).reshape(b * p, k)
+
+
+def knn_mask_neg(x: jax.Array, k: int, *, neg: float = -1e30) -> jax.Array:
+    """Dense k-NN adjacency as an additive max-mask (TPU-native form).
+
+    Returns [B, P, P] f32 with 0 where j is among i's k nearest neighbors
+    (self included) and ``neg`` elsewhere, so neighbor-max aggregation is a
+    dense, fully-vectorized ``max_j (vals + mask)`` — no per-edge gathers,
+    which on TPU are rate-bound and far slower than the 1/(P/k) "wasted"
+    dense compute (see ops/edgeconv.py).  Membership is by distance
+    threshold at the k-th smallest, so exact ties at the boundary may admit
+    more than k neighbors (measure-zero for real point clouds).
+    """
+    sq = jnp.sum(x * x, axis=-1)  # [B, P]
+    inner = jnp.einsum("bpd,bqd->bpq", x, x, preferred_element_type=jnp.float32)
+    d2 = sq[:, None, :] - 2.0 * inner  # [B, P, P] (row-constant |xi|^2 dropped)
+    kth, _ = jax.lax.top_k(-d2, k)  # [B, P, k] negated distances, descending
+    thresh = -kth[..., -1]  # [B, P] k-th smallest distance
+    return jnp.where(d2 <= thresh[..., None], 0.0, neg).astype(jnp.float32)

@@ -13,23 +13,30 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..graph.knn import knn_graph
-from ..ops.edgeconv import edge_conv_max
+from ..graph.knn import knn_graph, knn_mask_neg
+from ..ops.edgeconv import edge_conv_max, edge_conv_max_dense
 
 
 class EdgeConv(nn.Module):
     """theta/phi formulation: out[i] = max_j (phi(x_i) + theta(x_j - x_i)),
     computed as max_j(h_dst[i] + h_src[j]) with h_src = theta(x),
-    h_dst = phi(x) - theta(x) (edgeconv_layer.py:34-41)."""
+    h_dst = phi(x) - theta(x) (edgeconv_layer.py:34-41).
+
+    ``adj`` is either an explicit [N, k] neighbor-id table (gather path,
+    reference-API parity) or a dense [B, P, P] additive mask with [B, P, C]
+    features (the TPU performance path — see ops/edgeconv.py)."""
 
     out_feat: int
     batch_norm: bool = False
 
     @nn.compact
-    def __call__(self, nbr, feat, *, training: bool = False):
+    def __call__(self, adj, feat, *, training: bool = False):
         h_theta = nn.Dense(self.out_feat, use_bias=False, name="theta")(feat)
         h_phi = nn.Dense(self.out_feat, use_bias=False, name="phi")(feat)
-        out = edge_conv_max(nbr, h_theta, h_phi - h_theta)
+        if adj.ndim == 3:
+            out = edge_conv_max_dense(adj, h_theta, h_phi - h_theta)
+        else:
+            out = edge_conv_max(adj, h_theta, h_phi - h_theta)
         if self.batch_norm:
             out = nn.BatchNorm(use_running_average=not training)(out)
         return out
@@ -51,11 +58,10 @@ class DGCNN(nn.Module):
         hs = []
         h = x
         for i, dim in enumerate(self.feature_dims):
-            nbr = knn_graph(h, self.k)  # dynamic graph from current features
-            h = EdgeConv(dim, name=f"conv_{i}")(nbr, h.reshape(b * p, -1),
-                                                training=training)
+            # dynamic graph from current features, as a dense per-cloud mask
+            mask = knn_mask_neg(h, self.k)
+            h = EdgeConv(dim, name=f"conv_{i}")(mask, h, training=training)
             h = nn.leaky_relu(h, negative_slope=0.2)
-            h = h.reshape(b, p, -1)
             hs.append(h)
         h = jnp.concatenate(hs, axis=-1)
         h = nn.Dense(self.emb_dims[0], name="proj")(h)

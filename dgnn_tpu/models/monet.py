@@ -15,18 +15,25 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..graph.structure import Graph
-from ..ops.gmm import gmm_aggregate
+from ..ops.gmm import gmm_aggregate, gmm_aggregate_binned
 from .gat import xavier_normal
 
 
 class GMMConv(nn.Module):
-    """Gaussian-mixture model convolution. Output: [N, out_feats]."""
+    """Gaussian-mixture model convolution. Output: [N, out_feats].
+
+    ``pseudo`` is either flat [E, D] projected coords (general API) or the
+    pre-binned raw tables from ``ops.gmm.bin_pseudo`` — the fast path, where
+    the per-layer Linear+tanh projection runs inside the fused op
+    (set ``pseudo_proj=True``; reference analogue: MoNet's pseudo_proj,
+    train_gmmconv.py:38,48)."""
 
     out_feats: int
     dim: int
     n_kernels: int
     residual: bool = False
     use_bias: bool = True
+    pseudo_proj: bool = False
 
     @nn.compact
     def __call__(self, graph: Graph, feat, pseudo, *, training: bool = False):
@@ -37,7 +44,20 @@ class GMMConv(nn.Module):
         node_feat = node_feat.reshape(-1, k, f)
         mu = self.param("mu", nn.initializers.normal(0.1), (k, self.dim))
         inv_sigma = self.param("inv_sigma", nn.initializers.ones, (k, self.dim))
-        rst = gmm_aggregate(graph, node_feat, pseudo, mu, inv_sigma)
+        if isinstance(pseudo, tuple):
+            if self.pseudo_proj:
+                din = pseudo[0][0].shape[-1]
+                pw = self.param("pseudo_w", nn.initializers.lecun_normal(),
+                                (din, self.dim))
+                pb = self.param("pseudo_b", nn.initializers.zeros, (self.dim,))
+                rst = gmm_aggregate_binned(graph, node_feat, pseudo, mu,
+                                           inv_sigma, proj_weight=pw,
+                                           proj_bias=pb, use_tanh=True)
+            else:
+                rst = gmm_aggregate_binned(graph, node_feat, pseudo, mu,
+                                           inv_sigma)
+        else:
+            rst = gmm_aggregate(graph, node_feat, pseudo, mu, inv_sigma)
         rst = jnp.sum(rst, axis=1)  # sum over kernels (gmmconv_layer.py:58)
         if self.residual:
             if feat.shape[-1] != f:
@@ -65,11 +85,21 @@ class MoNet(nn.Module):
     @nn.compact
     def __call__(self, graph: Graph, feat, pseudo, *, training: bool = False):
         dims = [self.n_hidden] * self.n_layers + [self.out_feats]
+        binned = isinstance(pseudo, tuple)
         h = feat
         for i, out in enumerate(dims):
             if i != 0 and self.dropout > 0.0:
                 h = nn.Dropout(self.dropout)(h, deterministic=not training)
-            p = nn.tanh(nn.Dense(self.dim, name=f"pseudo_proj_{i}")(pseudo))
-            h = GMMConv(out_feats=out, dim=self.dim, n_kernels=self.n_kernels,
-                        name=f"gmm_{i}")(graph, h, p, training=training)
+            if binned:
+                # fast path: raw tables stream through the fused op; the
+                # per-layer Linear+tanh projection runs inside it
+                h = GMMConv(out_feats=out, dim=self.dim,
+                            n_kernels=self.n_kernels, pseudo_proj=True,
+                            name=f"gmm_{i}")(graph, h, pseudo,
+                                             training=training)
+            else:
+                p = nn.tanh(nn.Dense(self.dim, name=f"pseudo_proj_{i}")(pseudo))
+                h = GMMConv(out_feats=out, dim=self.dim,
+                            n_kernels=self.n_kernels,
+                            name=f"gmm_{i}")(graph, h, p, training=training)
         return h

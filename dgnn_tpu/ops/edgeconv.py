@@ -10,6 +10,14 @@ Backward scatters grad_out to the argmax source — the reference does this
 with an atomicAdd racing against a same-launch zero-init (a real cross-block
 race, SURVEY.md §2.3); here it is a deterministic XLA scatter-add over saved
 argmax positions.
+
+``edge_conv_max_dense`` is the TPU-native performance path used by the DGCNN
+model: point clouds make the k-NN graph block-diagonal with small blocks
+(P ~ 1024 points), so neighbor-max is computed DENSELY per cloud under an
+additive 0/-inf mask (graph/knn.py:knn_mask_neg).  Per-edge gathers on TPU
+are rate-bound at ~75M rows/s; the dense form does P/k "wasted" VPU work but
+runs at vector-unit speed with zero gathers, and its backward is an equally
+dense argmax-indicator sum instead of a scatter.
 """
 
 from __future__ import annotations
@@ -21,7 +29,7 @@ import jax.numpy as jnp
 
 from .common import chunk_rows_for_budget, float0_like, scan_chunked
 
-__all__ = ["edge_conv_max"]
+__all__ = ["edge_conv_max", "edge_conv_max_dense"]
 
 
 def _fwd_compute(nbr, h_src, h_dst):
@@ -64,6 +72,65 @@ def _ec_bwd(num_src, res, g):
 
 
 _ec.defvjp(_ec_fwd, _ec_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dense-masked per-cloud path (DGCNN performance path)
+# ---------------------------------------------------------------------------
+
+
+def _ecd_compute(mask_neg, h_src, h_dst):
+    """out[b,i,f] = h_dst[b,i,f] + max_j (h_src[b,j,f] + mask_neg[b,i,j]);
+    processed one cloud at a time (lax.map) to bound the [P, P, F] peak."""
+
+    def per_cloud(args):
+        mn, hs, hd = args
+        vals = hs[None, :, :] + mn[:, :, None]  # [P(i), P(j), F]
+        kstar = jnp.argmax(vals, axis=1).astype(jnp.int32)  # [P, F]
+        return hd + jnp.max(vals, axis=1), kstar
+
+    return jax.lax.map(per_cloud, (mask_neg, h_src, h_dst))
+
+
+@jax.custom_vjp
+def edge_conv_max_dense(mask_neg, h_src, h_dst):
+    """out[b,i,f] = max over j with mask_neg[b,i,j]==0 of
+    (h_dst[b,i,f] + h_src[b,j,f]).
+
+    Args:
+      mask_neg: [B, P, P] f32 additive adjacency mask (0 = edge, large
+        negative = non-edge), from graph/knn.py:knn_mask_neg.
+      h_src: [B, P, F]; h_dst: [B, P, F].
+    Returns: [B, P, F].
+    """
+    out, _ = _ecd_compute(mask_neg, h_src, h_dst)
+    return out
+
+
+def _ecd_fwd(mask_neg, h_src, h_dst):
+    out, kstar = _ecd_compute(mask_neg, h_src, h_dst)
+    # Residuals: argmax slot per (node, channel) only (the reference likewise
+    # saves just max_idx, operators/fused_edgeconv.py:20).
+    return out, (kstar, mask_neg.shape)
+
+
+def _ecd_bwd(res, g):
+    kstar, mask_shape = res
+    p = g.shape[1]
+
+    def per_cloud(args):
+        ks, gc = args  # [P, F] int32, [P, F]
+        j = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)  # [P(j),1,1]
+        ind = ks[None, :, :] == j  # [P(j), P(i), F]
+        return jnp.sum(jnp.where(ind, gc[None, :, :], 0.0), axis=1)  # [P, F]
+
+    d_src = jax.lax.map(per_cloud, (kstar, g))
+    # d/d h_dst is the identity (reference returns grad_out directly,
+    # operators/fused_edgeconv.py:22); the mask is non-differentiable.
+    return (jnp.zeros(mask_shape, jnp.float32), d_src, g)
+
+
+edge_conv_max_dense.defvjp(_ecd_fwd, _ecd_bwd)
 
 
 def edge_conv_max(nbr, h_src, h_dst):

@@ -8,11 +8,34 @@ operators/fused_gmmconv.py:12-27).  Per edge e=(u -> v) with pseudo-coords
     w[e, k] = exp(-0.5 * sum_d ((pseudo[e,d] - mu[k,d]) * inv_sigma[k,d])^2)
     out[v, k, :] = sum_{e into v} w[e, k] * feat[u, k, :]
 
-Backward mirrors the reference's composition — grad_feat is the forward
-kernel re-run on the transposed graph; grad wrt the Gaussian parameters goes
-through an exact VJP of the closed-form weight (the reference's hand-written
-`gaussian_bp` has known bugs — garbage accumulation base and a wrong running
-sum across dims, SURVEY.md §2.4 — which this derivation does not replicate).
+Two implementations:
+
+- ``gmm_aggregate_binned`` — the performance path (used by the MoNet model).
+  Raw pseudo-coordinates are *pre-binned* into the per-bin ``[S, W, D]`` slot
+  tables once per graph, in BOTH layouts, so a training step performs exactly
+  TWO edge-sized gathers and nothing else per-edge (per-edge random access is
+  the TPU bottleneck — see ops/gat.py):
+    fwd  (CSR bins): gather feat rows; Gaussian weights computed per-slot
+                     from the streamed pseudo tables
+    bwd  (CSC bins): gather grad_out rows; the same pass yields dX (per-src
+                     sums), the SDDMM gw = <grad_out[dst], feat[src]> with
+                     *resident* source features, and all parameter gradients
+                     (mu, inv_sigma, pseudo-projection) as in-pass global
+                     sums.  The reference needs three kernels plus an edge
+                     permute for this (operators/fused_gmmconv.py:20-27).
+  The per-layer pseudo projection Linear(2, dim) + tanh lives *inside* the
+  op so its gradient is a global sum too (the reference's MoNet applies it
+  per edge outside the kernel, train_gmmconv.py:38,48).
+
+- ``gmm_aggregate`` — the general API-parity path taking flat ``pseudo
+  [E, D]`` in CSR edge order with full differentiability (reference API
+  analogue: GmmConvFuse).  Its backward materializes per-edge weight grads
+  and is not rate-optimal; large-scale training should use the binned path.
+
+Backward math is the exact closed-form VJP of the Gaussian (the reference's
+hand-written `gaussian_bp` has known bugs — garbage accumulation base and a
+wrong running sum across dims, SURVEY.md §2.4 — which this derivation does
+not replicate).
 """
 
 from __future__ import annotations
@@ -26,17 +49,178 @@ from ..graph.structure import BinnedAdj, Graph
 from .common import (chunk_rows_for_budget, float0_like, lane_mask,
                      scan_chunked, use_pallas)
 
-__all__ = ["gmm_aggregate", "gaussian_weights"]
+__all__ = ["gmm_aggregate", "gmm_aggregate_binned", "gaussian_weights",
+           "bin_edge_data"]
 
 
 def gaussian_weights(pseudo, mu, inv_sigma):
-    """[E, D], [K, D], [K, D] -> [E, K] Gaussian kernel weights."""
-    t = (pseudo[:, None, :] - mu[None]) * inv_sigma[None]  # [E, K, D]
+    """[..., D], [K, D], [K, D] -> [..., K] Gaussian kernel weights."""
+    t = (pseudo[..., None, :] - mu) * inv_sigma  # [..., K, D]
     return jnp.exp(-0.5 * jnp.sum(t * t, axis=-1))
+
+
+def bin_edge_data(adj: BinnedAdj, data):
+    """Scatter flat per-edge data [E, ...] into the bin slot tables.
+
+    One edge-sized gather, done ONCE per graph at setup — per-step passes
+    then stream the [S, W, ...] tables instead of re-gathering.
+    """
+    return tuple(data[e] for e in adj.edge)
 
 
 def _segment_sum(x, ids, n):
     return jax.ops.segment_sum(x, ids, num_segments=n)
+
+
+def _project(praw, pw, pbias, use_tanh):
+    p = praw.astype(jnp.float32) @ pw + pbias
+    return jnp.tanh(p) if use_tanh else p
+
+
+# ---------------------------------------------------------------------------
+# Binned fast path: 2 edge-sized gathers per training step
+# ---------------------------------------------------------------------------
+
+
+def _gmm2_forward(adj: BinnedAdj, pbins, feat, pw, pbias, mu, isig, use_tanh):
+    n = adj.num_rows
+    K, F = feat.shape[-2], feat.shape[-1]
+    accs, rows = [], []
+    for (width, nbr, edge, row, count), praw in zip(adj.bins(), pbins):
+        chunk = chunk_rows_for_budget(width, K * F + praw.shape[-1])
+
+        def fn(nbr_c, count_c, praw_c):
+            mask = lane_mask(count_c, width)
+            p = _project(praw_c, pw, pbias, use_tanh)  # [S, W, D] streamed
+            w = gaussian_weights(p, mu, isig)  # [S, W, K]
+            w = jnp.where(mask[..., None], w, 0.0)
+            x = feat[nbr_c]  # [S, W, K, F] — the ONE edge-sized gather
+            acc = jnp.einsum("swk,swkf->skf", w, x,
+                             preferred_element_type=jnp.float32)
+            return (acc,), ()
+
+        (acc,), _ = scan_chunked(fn, (nbr, count, praw), nbr.shape[0], chunk,
+                                 ())
+        accs.append(acc)
+        rows.append(row)
+    return _segment_sum(jnp.concatenate(accs), jnp.concatenate(rows), n)
+
+
+def _gmm2_backward(adj_bwd: BinnedAdj, pbins_bwd, feat, pw, pbias, mu, isig,
+                   use_tanh, g_out):
+    """Single CSC pass: dX (per-src sums), SDDMM with resident src features,
+    and every parameter gradient as an in-pass global sum."""
+    n_src = adj_bwd.num_rows
+    K, F = feat.shape[-2], feat.shape[-1]
+    din = pw.shape[0]
+    D = pw.shape[1]
+    zeros = (jnp.zeros((K, D), jnp.float32), jnp.zeros((K, D), jnp.float32),
+             jnp.zeros((din, D), jnp.float32), jnp.zeros((D,), jnp.float32))
+    d_mu, d_isig, d_pw, d_pbias = zeros
+    dxs, rows = [], []
+    for (width, nbr, edge, row, count), praw in zip(adj_bwd.bins(), pbins_bwd):
+        chunk = chunk_rows_for_budget(width, 2 * (K * F + K * D))
+
+        def fn(nbr_c, row_c, count_c, praw_c):
+            mask = lane_mask(count_c, width)
+            praw_c = praw_c.astype(jnp.float32)
+            p = _project(praw_c, pw, pbias, use_tanh)  # [S, W, D]
+            t = (p[..., None, :] - mu) * isig  # [S, W, K, D]
+            w = jnp.exp(-0.5 * jnp.sum(t * t, axis=-1))  # [S, W, K]
+            w = jnp.where(mask[..., None], w, 0.0)
+            g = g_out[nbr_c]  # [S, W, K, F] — the ONE edge-sized gather
+            dx_p = jnp.einsum("swk,swkf->skf", w, g,
+                              preferred_element_type=jnp.float32)
+            x_res = feat[row_c].astype(jnp.float32)  # [S, K, F] resident
+            gw = jnp.einsum("skf,swkf->swk", x_res, g,
+                            preferred_element_type=jnp.float32)
+            c = jnp.where(mask[..., None], gw * w, 0.0)  # [S, W, K]
+            # d w/d mu = w * t * isig ; d w/d isig = -w * t * (p - mu)
+            dmu = jnp.einsum("swk,swkd->kd", c, t) * isig
+            pmmu = p[..., None, :] - mu
+            disg = -jnp.einsum("swk,swkd->kd", c, t * pmmu)
+            dp = -jnp.einsum("swk,swkd->swd", c, t * isig)  # [S, W, D]
+            if use_tanh:
+                dp = dp * (1.0 - p * p)
+            dpw = jnp.einsum("swr,swd->rd", praw_c, dp)
+            dpb = jnp.sum(dp, axis=(0, 1))
+            return (dx_p,), (dmu, disg, dpw, dpb)
+
+        (dx_p,), upd = scan_chunked(fn, (nbr, row, count, praw), nbr.shape[0],
+                                    chunk, zeros)
+        d_mu = d_mu + upd[0]
+        d_isig = d_isig + upd[1]
+        d_pw = d_pw + upd[2]
+        d_pbias = d_pbias + upd[3]
+        dxs.append(dx_p)
+        rows.append(row)
+    d_feat = _segment_sum(jnp.concatenate(dxs), jnp.concatenate(rows), n_src)
+    return d_feat, d_pw, d_pbias, d_mu, d_isig
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gmm2(use_tanh, adj_fwd, adj_bwd, pf, pb, feat, pw, pbias, mu, isig):
+    return _gmm2_forward(adj_fwd, pf, feat, pw, pbias, mu, isig, use_tanh)
+
+
+def _gmm2_fwd(use_tanh, adj_fwd, adj_bwd, pf, pb, feat, pw, pbias, mu, isig):
+    out = _gmm2_forward(adj_fwd, pf, feat, pw, pbias, mu, isig, use_tanh)
+    return out, (adj_fwd, adj_bwd, pf, pb, feat, pw, pbias, mu, isig)
+
+
+def _gmm2_bwd(use_tanh, res, g_out):
+    adj_fwd, adj_bwd, pf, pb, feat, pw, pbias, mu, isig = res
+    g_out = g_out.astype(jnp.float32)
+    d_feat, d_pw, d_pbias, d_mu, d_isig = _gmm2_backward(
+        adj_bwd, pb, feat, pw, pbias, mu, isig, use_tanh, g_out)
+    return (float0_like(adj_fwd), float0_like(adj_bwd), float0_like(pf),
+            float0_like(pb), d_feat.astype(feat.dtype), d_pw.astype(pw.dtype),
+            d_pbias.astype(pbias.dtype), d_mu.astype(mu.dtype),
+            d_isig.astype(isig.dtype))
+
+
+_gmm2.defvjp(_gmm2_fwd, _gmm2_bwd)
+
+
+def gmm_aggregate_binned(graph: Graph, feat, pseudo_bins, mu, inv_sigma, *,
+                         proj_weight=None, proj_bias=None,
+                         use_tanh: bool = True):
+    """Fused MoNet aggregation over pre-binned pseudo-coordinates.
+
+    Args:
+      graph: Graph pytree.
+      feat: [N, K, F] node features.
+      pseudo_bins: (fwd_tables, bwd_tables) from ``bin_pseudo(graph, raw)`` —
+        raw pseudo-coords in both binned layouts (treated as constants; to
+        learn pseudo itself use `gmm_aggregate`).
+      mu, inv_sigma: [K, D] Gaussian parameters.
+      proj_weight, proj_bias: optional pseudo projection (Linear(Din, D)
+        [+ tanh]) applied per-slot inside the op; identity if None.
+      use_tanh: apply tanh after the projection (reference MoNet does,
+        train_gmmconv.py:38,48).
+    Returns:
+      [N, K, F] aggregated features.
+    """
+    pf, pb = pseudo_bins
+    din = pf[0].shape[-1]
+    if proj_weight is None:
+        proj_weight = jnp.eye(din, mu.shape[1], dtype=jnp.float32)
+        proj_bias = jnp.zeros((mu.shape[1],), jnp.float32)
+        use_tanh = False
+    if proj_bias is None:
+        proj_bias = jnp.zeros((mu.shape[1],), jnp.float32)
+    return _gmm2(bool(use_tanh), graph.fwd, graph.bwd, pf, pb, feat,
+                 proj_weight, proj_bias, mu, inv_sigma)
+
+
+def bin_pseudo(graph: Graph, pseudo):
+    """Pre-bin raw [E, Din] pseudo-coords into both layouts (once per graph)."""
+    return (bin_edge_data(graph.fwd, pseudo), bin_edge_data(graph.bwd, pseudo))
+
+
+# ---------------------------------------------------------------------------
+# General flat-pseudo path (API parity; differentiable pseudo)
+# ---------------------------------------------------------------------------
 
 
 def _spmm_bins(adj: BinnedAdj, w_flat, feat):
@@ -138,7 +322,7 @@ _gmm_fused.defvjp(_gmm_fused_fwd, _gmm_fused_bwd)
 
 
 def gmm_aggregate(graph: Graph, feat, pseudo, mu, inv_sigma):
-    """Fused MoNet aggregation.
+    """Fused MoNet aggregation (general flat-pseudo API).
 
     Args:
       graph: Graph pytree.

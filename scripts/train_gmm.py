@@ -19,6 +19,7 @@ import optax
 from dgnn_tpu.data import load_citation_dataset
 from dgnn_tpu.graph.structure import build_graph
 from dgnn_tpu.models import MoNet
+from dgnn_tpu.ops.gmm import bin_pseudo
 from dgnn_tpu.utils import append_csv_row, device_peak_memory_mb
 
 
@@ -38,7 +39,8 @@ def main(args):
     labels = jnp.asarray(data.labels)
     train_mask = jnp.asarray(data.train_mask)
     test_mask = jnp.asarray(data.test_mask)
-    pseudo = edge_pseudo(graph)
+    # pre-bin the static pseudo-coords once (2-pass fused path, ops/gmm.py)
+    pseudo = bin_pseudo(graph, edge_pseudo(graph))
 
     model = MoNet(n_hidden=args.n_hidden, out_feats=data.n_classes,
                   n_layers=args.n_layers, dim=args.pseudo_dim,

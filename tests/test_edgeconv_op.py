@@ -58,3 +58,55 @@ def test_knn_includes_self(rng):
     x = jnp.asarray(rng.normal(size=(1, 10, 3)), jnp.float32)
     nbr = np.asarray(knn_graph(x, 3))
     assert all(i in nbr[i] for i in range(10))
+
+
+def test_dense_masked_matches_gather_path(rng):
+    """edge_conv_max_dense (per-cloud dense mask) vs the [N,k] gather path."""
+    from dgnn_tpu.graph.knn import knn_mask_neg
+    from dgnn_tpu.ops.edgeconv import edge_conv_max_dense
+
+    b, p, d, k, f = 2, 12, 3, 4, 5
+    x = jnp.asarray(rng.normal(size=(b, p, d)), jnp.float32)
+    h_src = jnp.asarray(rng.normal(size=(b, p, f)), jnp.float32)
+    h_dst = jnp.asarray(rng.normal(size=(b, p, f)), jnp.float32)
+    nbr = knn_graph(x, k)  # [B*P, k] global ids
+    mask = knn_mask_neg(x, k)  # [B, P, P]
+
+    out_g = edge_conv_max(nbr, h_src.reshape(b * p, f),
+                          h_dst.reshape(b * p, f))
+    out_d = edge_conv_max_dense(mask, h_src, h_dst)
+    np.testing.assert_allclose(out_d.reshape(b * p, f), out_g, rtol=1e-6,
+                               atol=1e-6)
+
+    def loss_g(hs, hd):
+        return jnp.sum(jnp.sin(
+            edge_conv_max(nbr, hs.reshape(b * p, f), hd.reshape(b * p, f))))
+
+    def loss_d(hs, hd):
+        return jnp.sum(jnp.sin(edge_conv_max_dense(mask, hs, hd)))
+
+    gg = jax.grad(loss_g, argnums=(0, 1))(h_src, h_dst)
+    gd_ = jax.grad(loss_d, argnums=(0, 1))(h_src, h_dst)
+    for a_, b_ in zip(gd_, gg):
+        np.testing.assert_allclose(a_, b_.reshape(a_.shape), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_dense_masked_tie_single_winner(rng):
+    """With duplicated source rows (exact ties) gradient flows to exactly one
+    argmax winner, matching max subgradient conventions."""
+    from dgnn_tpu.ops.edgeconv import edge_conv_max_dense
+
+    b, p, f = 1, 6, 3
+    h_src = jnp.asarray(np.tile(rng.normal(size=(1, 1, f)), (b, p, 1)),
+                        jnp.float32)  # all identical -> all tie
+    h_dst = jnp.asarray(rng.normal(size=(b, p, f)), jnp.float32)
+    mask = jnp.zeros((b, p, p), jnp.float32)  # fully connected
+
+    def loss(hs):
+        return jnp.sum(edge_conv_max_dense(mask, hs, h_dst))
+
+    g = jax.grad(loss)(h_src)
+    # total gradient mass = P contributions per channel, each to one winner
+    np.testing.assert_allclose(np.asarray(g).sum(axis=(0, 1)),
+                               np.full(f, p, np.float32), rtol=1e-6)
