@@ -2,8 +2,13 @@
 
 Reference protocol analogue: 10 warmup iters with GPUtil memory sampling,
 then cuda.synchronize-bracketed wall clock per epoch
-(train_gatconv.py:125-161).  Here: `block_until_ready` brackets, and XLA's
-per-device memory_stats for peak bytes.
+(train_gatconv.py:125-161).
+
+TPU-idiomatic difference: the epoch loop runs DEVICE-RESIDENT
+(`lax.fori_loop` inside one jit) so per-step host dispatch never pollutes
+the measurement — on a tunneled device, dispatch latency (~7ms) would
+otherwise dominate small-graph epochs, and `block_until_ready` can return
+before the device is done, so synchronization is a scalar device_get.
 """
 
 from __future__ import annotations
@@ -11,8 +16,57 @@ from __future__ import annotations
 import time
 
 import jax
+import numpy as np
 
-__all__ = ["Timer", "time_fn", "device_peak_memory_mb"]
+__all__ = ["Timer", "time_fn", "time_epoch_loop", "device_peak_memory_mb"]
+
+
+def fetch_scalar(tree):
+    """Force a real device sync by fetching one scalar to the host."""
+    leaf = jax.tree.leaves(tree)[0]
+    return np.asarray(jax.jit(lambda x: x.ravel()[0])(leaf))
+
+
+def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
+                    min_signal: float = 0.2, max_epochs: int = 100_000):
+    """Seconds/epoch of ``carry = step(carry, subkey)`` run device-resident.
+
+    One dispatch covers all epochs (lax.fori_loop with a dynamic trip count,
+    so warmup and every timed run share one executable).  The constant
+    dispatch + sync cost is measured exactly with a ZERO-trip run of the same
+    executable and subtracted; the epoch count auto-scales (doubling) until
+    the remaining signal exceeds ``min_signal`` seconds, so sub-millisecond
+    epochs on a high-latency tunnelled device still time accurately.
+
+    Returns (seconds_per_epoch, final_carry).
+    """
+
+    def body(_, state):
+        c, k = state
+        k, sub = jax.random.split(k)
+        return step(c, sub), k
+
+    runner = jax.jit(
+        lambda state, n: jax.lax.fori_loop(0, n, body, state))
+
+    state = runner((carry, key), warmup)
+    fetch_scalar(state)
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = runner(state, n)
+        fetch_scalar(out)
+        return time.perf_counter() - t0, out
+
+    t0a, _ = run(0)
+    t0b, _ = run(0)
+    base = min(t0a, t0b)
+    n = max(int(epochs), 1)
+    while True:
+        t, out = run(n)
+        if t - base >= min_signal or n >= max_epochs:
+            return max(t - base, 1e-9) / n, out[0]
+        n = min(2 * n, max_epochs)
 
 
 class Timer:

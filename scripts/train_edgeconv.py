@@ -18,7 +18,8 @@ import optax
 
 from dgnn_tpu.data import load_modelnet
 from dgnn_tpu.models import DGCNN
-from dgnn_tpu.utils import append_csv_row, device_peak_memory_mb
+from dgnn_tpu.utils import (append_csv_row, device_peak_memory_mb,
+                            time_epoch_loop)
 
 
 def compute_loss(logits, y, eps=0.2):
@@ -56,7 +57,6 @@ def main(args):
                      optax.sgd(sched, momentum=0.9))
     opt_state = tx.init(params)
 
-    @jax.jit
     def train_step(params, batch_stats, opt_state, x, y, dropout_key):
         def loss_fn(p):
             logits, updates = model.apply(
@@ -76,51 +76,69 @@ def main(args):
         logits = model.apply({"params": params, "batch_stats": batch_stats}, x)
         return jnp.sum(jnp.argmax(logits, 1) == y)
 
-    rng = np.random.default_rng(0)
+    # whole dataset staged on device; epoch runs device-resident: on-device
+    # shuffle + augmentation + lax.scan over batches (reference loops batches
+    # from the host, train_edgeconv.py:181-214 — dispatch-bound on TPU)
+    xtr_d = jnp.asarray(xtr[: steps_per_epoch * args.batch_size])
+    ytr_d = jnp.asarray(ytr[: steps_per_epoch * args.batch_size])
 
-    def run_epoch(params, batch_stats, opt_state, key, train=True):
-        order = rng.permutation(len(xtr))
-        tot_loss, tot_acc, nb = 0.0, 0.0, 0
-        for i in range(steps_per_epoch):
-            sel = order[i * args.batch_size:(i + 1) * args.batch_size]
-            x = translate_augment(rng, xtr[sel])
-            key, sub = jax.random.split(key)
+    def epoch_step(carry, key):
+        params, batch_stats, opt_state, _, _ = carry
+        kperm, kscale, kshift, kdrop = jax.random.split(key, 4)
+        order = jax.random.permutation(kperm, xtr_d.shape[0])
+        xs = xtr_d[order].reshape(steps_per_epoch, args.batch_size,
+                                  args.num_points, 3)
+        ys = ytr_d[order].reshape(steps_per_epoch, args.batch_size)
+        # random anisotropic scale + shift (ModelNetDataset.translate)
+        s = jax.random.uniform(kscale, (steps_per_epoch, args.batch_size, 1, 3),
+                               minval=2 / 3, maxval=3 / 2)
+        t = jax.random.uniform(kshift, (steps_per_epoch, args.batch_size, 1, 3),
+                               minval=-0.2, maxval=0.2)
+        xs = xs * s + t
+
+        def body(c, batch):
+            params, batch_stats, opt_state, kd = c
+            x, y = batch
+            kd, sub = jax.random.split(kd)
             params, batch_stats, opt_state, loss, acc = train_step(
-                params, batch_stats, opt_state, jnp.asarray(x),
-                jnp.asarray(ytr[sel]), sub)
-            tot_loss += float(loss)
-            tot_acc += float(acc)
-            nb += 1
-        return params, batch_stats, opt_state, key, tot_loss / nb, tot_acc / nb
+                params, batch_stats, opt_state, x, y, sub)
+            return (params, batch_stats, opt_state, kd), (loss, acc)
+
+        (params, batch_stats, opt_state, _), (losses, accs) = jax.lax.scan(
+            body, (params, batch_stats, opt_state, kdrop), (xs, ys))
+        return (params, batch_stats, opt_state, jnp.mean(losses),
+                jnp.mean(accs))
 
     print(args)
-    print("warm up")
-    params, batch_stats, opt_state, key, loss, acc = run_epoch(
-        params, batch_stats, opt_state, key)
-    max_mb = device_peak_memory_mb()
-    print(f"warmup loss {loss:.4f} acc {acc:.4f}")
-
     print("profile training")
-    start = time.perf_counter()
-    for ep in range(args.num_epochs):
-        params, batch_stats, opt_state, key, loss, acc = run_epoch(
-            params, batch_stats, opt_state, key)
-        print(f"epoch {ep}: loss {loss:.4f} acc {acc:.4f}")
-    train_time = (time.perf_counter() - start) / args.num_epochs
+    carry = (params, batch_stats, opt_state, jnp.float32(0), jnp.float32(0))
+    train_time, carry = time_epoch_loop(epoch_step, carry, key,
+                                        args.num_epochs, warmup=1,
+                                        min_signal=2.0)
+    params, batch_stats = carry[0], carry[1]
+    max_mb = device_peak_memory_mb()
+    print(f"final train loss {float(carry[3]):.4f} acc {float(carry[4]):.4f}")
 
     print("profile inference")
-    start = time.perf_counter()
-    correct = 0
-    n_eval_batches = len(xte) // args.batch_size
-    for i in range(max(n_eval_batches, 1)):
-        sel = slice(i * args.batch_size, (i + 1) * args.batch_size)
-        xb, yb = xte[sel], yte[sel]
-        if len(xb) == 0:
-            xb, yb = xte, yte
-        correct += int(eval_step(params, batch_stats, jnp.asarray(xb),
-                                 jnp.asarray(yb)))
-    inference_time = time.perf_counter() - start
-    acc = correct / max(n_eval_batches * args.batch_size, len(xte))
+    n_eval_batches = max(len(xte) // args.batch_size, 1)
+    xte_d = jnp.asarray(xte[: n_eval_batches * args.batch_size]).reshape(
+        n_eval_batches, args.batch_size, args.num_points, 3)
+    yte_d = jnp.asarray(yte[: n_eval_batches * args.batch_size]).reshape(
+        n_eval_batches, args.batch_size)
+
+    def infer_epoch(carry, _key):
+        def body(c, batch):
+            x, y = batch
+            return c + eval_step(params, batch_stats, x + c * 1e-30, y), None
+
+        # reset each epoch; the 1e-30 carry-dependence prevents loop hoisting
+        total, _ = jax.lax.scan(body, carry * 1e-30, (xte_d, yte_d))
+        return total
+
+    inference_time, correct = time_epoch_loop(
+        infer_epoch, jnp.float32(0), key, max(args.num_epochs, 1), warmup=1,
+        min_signal=2.0)
+    acc = float(correct) / (n_eval_batches * args.batch_size)
 
     print(f"Test Accuracy {acc:.4f}")
     print(f"max memory:{max_mb:.0f}MB")

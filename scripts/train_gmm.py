@@ -20,7 +20,8 @@ from dgnn_tpu.data import load_citation_dataset
 from dgnn_tpu.graph.structure import build_graph
 from dgnn_tpu.models import MoNet
 from dgnn_tpu.ops.gmm import bin_pseudo
-from dgnn_tpu.utils import append_csv_row, device_peak_memory_mb
+from dgnn_tpu.utils import (append_csv_row, device_peak_memory_mb,
+                            time_epoch_loop)
 
 
 def edge_pseudo(graph):
@@ -51,8 +52,9 @@ def main(args):
                      optax.adam(args.lr))
     opt_state = tx.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, dropout_key):
+    def train_step(carry, dropout_key):
+        params, opt_state, _ = carry
+
         def loss_fn(p):
             logits = model.apply(p, graph, features, pseudo, training=True,
                                  rngs={"dropout": dropout_key})
@@ -64,34 +66,23 @@ def main(args):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    @jax.jit
-    def infer(params):
-        return model.apply(params, graph, features, pseudo)
-
     print(args)
-    print("warm up")
-    for _ in range(10):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, sub)
-    jax.block_until_ready(loss)
+    print("profile training")
+    carry = (params, opt_state, jnp.float32(0))
+    train_time, carry = time_epoch_loop(train_step, carry, key, args.n_epochs,
+                                        warmup=10)
+    params = carry[0]
     max_mb = device_peak_memory_mb()
 
-    print("profile training")
-    start = time.perf_counter()
-    for _ in range(args.n_epochs):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, sub)
-    jax.block_until_ready(loss)
-    train_time = (time.perf_counter() - start) / args.n_epochs
-
     print("profile inference")
-    logits = infer(params)
-    jax.block_until_ready(logits)
-    start = time.perf_counter()
-    for _ in range(args.n_epochs):
-        logits = infer(params)
-    jax.block_until_ready(logits)
-    inference_time = (time.perf_counter() - start) / args.n_epochs
+
+    def infer_step(carry, _key):
+        logits = model.apply(params, graph, features + carry * 1e-30, pseudo)
+        return logits[0, 0]
+
+    inference_time, _ = time_epoch_loop(infer_step, jnp.float32(0), key,
+                                        args.n_epochs, warmup=3)
+    logits = jax.jit(lambda p: model.apply(p, graph, features, pseudo))(params)
 
     pred = jnp.argmax(logits, axis=1)
     acc = float(jnp.sum((pred == labels) * test_mask) / jnp.sum(test_mask))
