@@ -52,6 +52,9 @@ class GraphShards:
     fwd_halo: BinnedAdj
     bwd: BinnedAdj
     send_ids: jax.Array  # [P, P, Hmax] int32
+    edge_gids: jax.Array  # [P, Emax] int32 — global CSR edge id per local edge
+    # (lets per-edge data such as GMM pseudo-coords reshard: parallel.spmd
+    # .shard_edge_data)
     num_shards: int = dataclasses.field(metadata=dict(static=True))
     nodes_per_shard: int = dataclasses.field(metadata=dict(static=True))
     halo_max: int = dataclasses.field(metadata=dict(static=True))
@@ -141,7 +144,7 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
 
     # ---- per-shard binned layouts with remapped extended source ids
     ext = c + num_shards * h_max
-    fwd_local_b, fwd_halo_b, bwd_b = [], [], []
+    fwd_local_b, fwd_halo_b, bwd_b, gids_b = [], [], [], []
     for p in range(num_shards):
         mine = owner_dst == p
         # remap: local rows to [0, c); sources to extended space
@@ -166,6 +169,7 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
         rows_s = rows_l[order]
         cols_s = remapped[order].astype(np.int32)
         loc_s = is_local[order]
+        gids_s = e_sel[order]  # global CSR edge id per local edge
         counts = np.bincount(rows_s, minlength=c)
         lptr = np.zeros(c + 1, np.int64)
         np.cumsum(counts, out=lptr[1:])
@@ -181,13 +185,19 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
         bwd_b.append(_binning.bin_csr(tptr, rows_s[order_t].astype(np.int32),
                                       edge_ids=eids[order_t], widths=widths,
                                       keep_empty=True))
+        gids_b.append(gids_s)
 
     e_max = max(b.num_edges for b in fwd_local_b + fwd_halo_b)
+    g_max = max(len(g) for g in gids_b)
+    gids = np.zeros((num_shards, g_max), np.int32)
+    for p, g in enumerate(gids_b):
+        gids[p, : len(g)] = g
     return GraphShards(
         fwd_local=_stack_binned(fwd_local_b, c, e_max),
         fwd_halo=_stack_binned(fwd_halo_b, c, e_max),
         bwd=_stack_binned(bwd_b, ext, e_max),
         send_ids=jnp.asarray(send_ids),
+        edge_gids=jnp.asarray(gids),
         num_shards=num_shards,
         nodes_per_shard=c,
         halo_max=h_max,

@@ -23,10 +23,11 @@ import jax.numpy as jnp
 from ..graph.structure import BinnedAdj
 from ..models.gat import xavier_normal
 from ..ops.gat import _gat_fused
+from ..ops.gmm import _gmm2
 from .partition import GraphShards
 
-__all__ = ["local_view", "halo_exchange", "merge_binned", "ShardedGATConv",
-           "ShardedGAT"]
+__all__ = ["local_view", "halo_exchange", "merge_binned", "shard_edge_data",
+           "ShardedGATConv", "ShardedGAT", "ShardedGMMConv", "ShardedMoNet"]
 
 
 def local_view(shards: GraphShards) -> GraphShards:
@@ -54,6 +55,49 @@ def halo_exchange(x_local: jax.Array, send_ids: jax.Array, axis_name: str):
     send = x_local[send_ids]  # [P, Hmax, D]
     recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
     return jnp.concatenate([x_local, recv.reshape(-1, x_local.shape[-1])], 0)
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def psum_grad(x, axis_name):
+    """Identity whose transpose is a cross-shard psum.
+
+    Wrap replicated parameters consumed inside a custom_vjp op: the op's
+    backward emits shard-local partial parameter gradients, and this makes
+    the cross-shard reduction explicit (shard_map cannot infer it through a
+    custom_vjp)."""
+    return x
+
+
+def _psum_grad_fwd(x, axis_name):
+    return x, None
+
+
+def _psum_grad_bwd(axis_name, _, g):
+    return (jax.lax.psum(g, axis_name),)
+
+
+psum_grad.defvjp(_psum_grad_fwd, _psum_grad_bwd)
+
+
+def shard_edge_data(shards: GraphShards, data):
+    """Reshard flat per-edge data [E, ...] (global CSR edge order) into each
+    shard's binned slot tables, stacked on the shard axis.
+
+    Returns (fwd_local_tables, fwd_halo_tables, bwd_tables) — tuples of
+    [P, S, W, ...] arrays matching the shard's bin structure (strip the shard
+    axis with local_view inside shard_map, like the rest of GraphShards).
+    """
+    local_flat = data[shards.edge_gids]  # [P, Emax, ...]
+    take = jax.vmap(lambda lf, e: lf[e])
+
+    def tables(adj: BinnedAdj):
+        return tuple(take(local_flat, e) for e in adj.edge)
+
+    return (tables(shards.fwd_local), tables(shards.fwd_halo),
+            tables(shards.bwd))
 
 
 class ShardedGATConv(nn.Module):
@@ -109,6 +153,78 @@ class ShardedGATConv(nn.Module):
         if self.use_bias:
             rst = rst + self.param("bias", nn.initializers.zeros, (1, h, f))
         return rst
+
+
+class ShardedGMMConv(nn.Module):
+    """GMMConv over one graph shard (run under shard_map).
+
+    Same communication shape as ShardedGATConv: local dense projection, ONE
+    all_to_all of boundary feature rows, fused Gaussian-weighted aggregation
+    over merged local+halo bins.  Pseudo tables come pre-resharded
+    (shard_edge_data) and stream — no per-edge exchange is ever needed
+    because edge data is owned by the destination shard.
+    """
+
+    out_feats: int
+    dim: int
+    n_kernels: int
+    axis_name: str = "graph"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, local: GraphShards, feat, pseudo_tables, *,
+                 training: bool = False):
+        k = self.n_kernels
+        f = self.out_feats
+        node_feat = nn.Dense(k * f, use_bias=False, kernel_init=xavier_normal(),
+                             name="fc")(feat)
+        feat_ext = halo_exchange(node_feat, local.send_ids,
+                                 self.axis_name).reshape(-1, k, f)
+        mu = self.param("mu", nn.initializers.normal(0.1), (k, self.dim))
+        inv_sigma = self.param("inv_sigma", nn.initializers.ones,
+                               (k, self.dim))
+        pf_l, pf_h, pb = pseudo_tables
+        din = pf_l[0].shape[-1]
+        pw = self.param("pseudo_w", nn.initializers.lecun_normal(),
+                        (din, self.dim))
+        pbias = self.param("pseudo_b", nn.initializers.zeros, (self.dim,))
+        adj_fwd = merge_binned(local.fwd_local, local.fwd_halo)
+        # _gmm2's backward emits shard-local partials for these params
+        pw, pbias, mu, inv_sigma = (psum_grad(v, self.axis_name)
+                                    for v in (pw, pbias, mu, inv_sigma))
+        rst = _gmm2(True, adj_fwd, local.bwd, pf_l + pf_h, pb, feat_ext, pw,
+                    pbias, mu, inv_sigma)
+        rst = jnp.sum(rst, axis=1)
+        if self.use_bias:
+            rst = rst + self.param("bias", nn.initializers.zeros, (f,))
+        return rst
+
+
+class ShardedMoNet(nn.Module):
+    """Multi-layer sharded MoNet with the same topology as models.MoNet."""
+
+    n_hidden: int
+    out_feats: int
+    n_layers: int
+    dim: int
+    n_kernels: int
+    axis_name: str = "graph"
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, local: GraphShards, feat, pseudo_tables, *,
+                 training: bool = False):
+        dims = [self.n_hidden] * self.n_layers + [self.out_feats]
+        h = feat
+        for i, out in enumerate(dims):
+            if i != 0 and self.dropout > 0.0:
+                h = nn.Dropout(self.dropout)(h, deterministic=not training)
+            h = ShardedGMMConv(out_feats=out, dim=self.dim,
+                               n_kernels=self.n_kernels,
+                               axis_name=self.axis_name,
+                               name=f"gmm_{i}")(local, h, pseudo_tables,
+                                                training=training)
+        return h
 
 
 class ShardedGAT(nn.Module):

@@ -100,3 +100,58 @@ def test_sharded_grads_match_single(rng):
                                    np.asarray(flat_r[jax.tree_util.keystr(k)]),
                                    rtol=5e-4, atol=1e-5,
                                    err_msg=jax.tree_util.keystr(k))
+
+
+def test_sharded_monet_matches_single(rng):
+    """ShardedMoNet (halo all_to_all + resharded pseudo tables) vs the
+    single-device binned MoNet: forward and gradients."""
+    from dgnn_tpu.models import MoNet
+    from dgnn_tpu.ops.gmm import bin_pseudo
+    from dgnn_tpu.parallel import ShardedMoNet, shard_edge_data
+
+    n, k, dim, num_shards = 40, 2, 3, 4
+    src, dst = random_graph(rng, n, 4)
+    mesh = _mesh(num_shards)
+    shards = partition_graph(src, dst, n, num_shards, widths=(4, 16))
+    g = build_graph(src, dst, n, widths=(4, 16))
+    n_pad = shards.padded_nodes
+
+    feat = rng.normal(size=(n, 10)).astype(np.float32)
+    feat_pad = np.zeros((n_pad, 10), np.float32)
+    feat_pad[:n] = feat
+    pseudo = jnp.asarray(rng.normal(size=(g.num_edges, 2)), jnp.float32)
+    ptables = shard_edge_data(shards, pseudo)
+    pbins = bin_pseudo(g, pseudo)
+    mask_pad = np.zeros(n_pad, np.float32)
+    mask_pad[:n] = 1.0
+
+    model = ShardedMoNet(n_hidden=4, out_feats=3, n_layers=1, dim=dim,
+                         n_kernels=k, dropout=0.0)
+    ref_model = MoNet(n_hidden=4, out_feats=3, n_layers=1, dim=dim,
+                      n_kernels=k, dropout=0.0)
+    params = ref_model.init(jax.random.PRNGKey(2), g, jnp.asarray(feat), pbins)
+
+    def per_shard(params, shards, pt, x):
+        return model.apply(params, local_view(shards), x,
+                           jax.tree.map(lambda v: v[0], pt))
+
+    fwd = shard_map(per_shard, mesh=mesh,
+                    in_specs=(P(), P("graph"), P("graph"), P("graph")),
+                    out_specs=P("graph"))
+    out = jax.jit(fwd)(params, shards, ptables, jnp.asarray(feat_pad))
+    ref = ref_model.apply(params, g, jnp.asarray(feat), pbins)
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss_sharded(params):
+        o = fwd(params, shards, ptables, jnp.asarray(feat_pad))
+        return jnp.sum(jnp.sin(o) * jnp.asarray(mask_pad)[:, None])
+
+    def loss_ref(params):
+        return jnp.sum(jnp.sin(ref_model.apply(params, g, jnp.asarray(feat),
+                                               pbins)))
+
+    gs = jax.jit(jax.grad(loss_sharded))(params)
+    gr = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
