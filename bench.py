@@ -102,15 +102,18 @@ def bench_gat(dataset, scale, epochs, infer=False):
     tx = optax.chain(optax.add_decayed_weights(5e-4), optax.adam(1e-3))
     opt_state = tx.init(params)
 
+    consts = (graph, feat, labels)
     if infer:
-        def infer_step(c, _k):
+        def infer_step(c, _k, cs):
+            graph, feat, _ = cs
             return model.apply(params, graph, feat + c * 1e-30)[0, 0]
 
         dt, _ = time_epoch_loop(infer_step, jnp.float32(0), key, epochs,
-                                warmup=2)
+                                warmup=2, consts=consts)
         return dt
 
-    def train_step(carry, sub):
+    def train_step(carry, sub, cs):
+        graph, feat, labels = cs
         params, opt_state, _ = carry
 
         def loss_fn(p):
@@ -124,7 +127,8 @@ def bench_gat(dataset, scale, epochs, infer=False):
         return optax.apply_updates(params, updates), opt_state, loss
 
     carry = (params, opt_state, jnp.float32(0))
-    dt, _ = time_epoch_loop(train_step, carry, key, epochs, warmup=2)
+    dt, _ = time_epoch_loop(train_step, carry, key, epochs, warmup=2,
+                            consts=consts)
     return dt
 
 
@@ -151,7 +155,10 @@ def bench_gmm(dataset, scale, epochs, n_kernels):
     tx = optax.adam(1e-2)
     opt_state = tx.init(params)
 
-    def train_step(carry, sub):
+    consts = (graph, feat, labels, pseudo)
+
+    def train_step(carry, sub, cs):
+        graph, feat, labels, pseudo = cs
         params, opt_state, _ = carry
 
         def loss_fn(p):
@@ -165,7 +172,8 @@ def bench_gmm(dataset, scale, epochs, n_kernels):
         return optax.apply_updates(params, updates), opt_state, loss
 
     carry = (params, opt_state, jnp.float32(0))
-    dt, _ = time_epoch_loop(train_step, carry, key, epochs, warmup=2)
+    dt, _ = time_epoch_loop(train_step, carry, key, epochs, warmup=2,
+                            consts=consts)
     return dt
 
 
@@ -195,7 +203,7 @@ def bench_edgeconv(infer=False):
         xd = jnp.asarray(xte[: n_eval * bs]).reshape(n_eval, bs, pts, 3)
         yd = jnp.asarray(yte[: n_eval * bs]).reshape(n_eval, bs)
 
-        def infer_epoch(c, _k):
+        def infer_epoch(c, _k, cs):
             def body(cc, batch):
                 x, y = batch
                 logits = model.apply(
@@ -203,11 +211,11 @@ def bench_edgeconv(infer=False):
                     x + cc * 1e-30)
                 return cc + jnp.sum(jnp.argmax(logits, 1) == y), None
 
-            total, _ = jax.lax.scan(body, c * 1e-30, (xd, yd))
+            total, _ = jax.lax.scan(body, c * 1e-30, cs)
             return total
 
         dt, _ = time_epoch_loop(infer_epoch, jnp.float32(0), key, 1, warmup=1,
-                                min_signal=2.0)
+                                min_signal=2.0, consts=(xd, yd))
         return dt
 
     sched = optax.cosine_decay_schedule(0.1, 50 * steps, alpha=0.01)
@@ -217,7 +225,8 @@ def bench_edgeconv(infer=False):
     xd = jnp.asarray(xtr[: steps * bs])
     yd = jnp.asarray(ytr[: steps * bs])
 
-    def epoch_step(carry, key):
+    def epoch_step(carry, key, cs):
+        xd, yd = cs
         params, batch_stats, opt_state = carry
         kperm, ks, kt, kd = jax.random.split(key, 4)
         order = jax.random.permutation(kperm, xd.shape[0])
@@ -255,7 +264,7 @@ def bench_edgeconv(infer=False):
 
     carry = (params, batch_stats, opt_state)
     dt, _ = time_epoch_loop(epoch_step, carry, key, 1, warmup=1,
-                            min_signal=2.0)
+                            min_signal=2.0, consts=(xd, yd))
     return dt
 
 

@@ -14,20 +14,28 @@ design:
 - **Per-edge random access is the TPU bottleneck** (row gathers run at
   ~75M rows/s on v5e regardless of row size — rate-bound, not
   bandwidth-bound; scatters are far worse).  The whole op is therefore
-  organised as exactly THREE edge-sized gather passes per training step,
-  with zero edge-sized scatters or permutes:
-    pass A (fwd, CSR bins):  gather [x | attn_col] -> online softmax -> out
-    pass C (bwd, CSR bins):  gather [x | attn_col]; resident grad_out rows
-                             give the SDDMM; per-DST sums (ws, t1, t2) are
-                             in-pass segment reductions -> d attn_row
+  organised as exactly TWO edge-sized gather passes per training step — the
+  provable minimum (forward must touch x[src] per edge, backward must touch
+  grad_out[dst] per edge) — with zero edge-sized scatters or permutes:
+    pass A (fwd, CSR bins):  gather [x | attn_col] -> online softmax -> out,
+                             plus the sign-split aggregate out_pos =
+                             sum_{s>=0} a^ x and ratio r = sum_{s>=0} a
     pass B (bwd, CSC bins):  gather [grad_out | attn_row | M | L | ws];
                              per-SRC sums give dX and d attn_col in-pass
-  Every node-scalar operand a pass needs is CONCATENATED into the gathered
-  row (gathers are rate-bound, so wider rows are free); per-dst quantities
-  consumed on the src side (ws) ride the same trick.  The reference instead
-  runs 3 backward kernels with an atomicAdd for grad_attn_col
-  (fused_gatconv_kernel.cu:957) — on TPU that scatter would be the slowest
-  op in the whole model.
+  The entire per-DESTINATION half of softmax backward collapses into
+  closed-form node-local algebra over pass-A residuals — no third pass:
+      ws_i = sum_j a^_ij <g_i, x_j>            = <g_i, out_i>
+      t1_i = sum_j a^ <g,x> d_ij               = <g_i, slope*out_i
+                                                  + (1-slope)*out_pos_i>
+      t2_i = sum_j a_ij d_ij                   = slope + (1-slope)*r_i
+      d attn_row = t1 - ws * t2
+  using d = LeakyReLU' in {slope, 1} so sum_j (.)*d = slope*sum_j (.) +
+  (1-slope)*sum_{s>=0} (.).  Every node-scalar operand pass B needs is
+  CONCATENATED into the gathered row (gathers are rate-bound, so wider rows
+  are free); the per-dst ws consumed on the src side rides the same trick.
+  The reference instead runs 3 backward kernels with an atomicAdd for
+  grad_attn_col (fused_gatconv_kernel.cu:957) — on TPU that scatter would be
+  the slowest op in the whole model.
 - Backward is a `jax.custom_vjp` that saves only the per-row softmax stats
   (edge_max, edge_sum) [N, H] and *recomputes* per-edge attention, exactly
   the reference's memory-saving trade (SURVEY.md §2.2 invariant 1).
@@ -99,14 +107,18 @@ def _forward_bin_pallas(width, nbr, edge, row, count, ar, ac, feat, slope, p,
              if (training and p > 0) else None)
     feat3d = feat.astype(jnp.float32).reshape(feat.shape[0], H * F // 128, 128)
     interpret = jax.default_backend() != "tpu"
-    m, l, acc = gat_forward_bin_pallas(nbr, count, s, wmult, feat3d,
-                                       interpret=interpret)
-    return m, l, acc.reshape(-1, H, F)
+    m, l, lpos, acc, accpos = gat_forward_bin_pallas(nbr, count, s, wmult,
+                                                     feat3d,
+                                                     interpret=interpret)
+    return m, l, lpos, acc.reshape(-1, H, F), accpos.reshape(-1, H, F)
 
 
 def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, xcat, slope, p,
                  seed, training):
-    """Per-bin streaming pass: per-segment (max, sumexp, weighted acc)."""
+    """Per-bin streaming pass: per-segment (max, sumexp, weighted acc) plus
+    the sign-split partials (sum-exp and weighted acc restricted to edges
+    with score >= 0) that make softmax backward's per-destination half
+    node-local (see module docstring)."""
     H = ar.shape[-1]
     F = feat.shape[-1]
     if _use_pallas(H, F, width, nbr.shape[0]):
@@ -124,30 +136,39 @@ def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, xcat, slope, p,
         m = jnp.max(s, axis=1)  # [S, H]; -inf for empty segments
         w = jnp.where(mask[..., None], jnp.exp(s - m[:, None, :]), 0.0)
         l = jnp.sum(w, axis=1)  # [S, H]
+        pos = s >= 0  # LeakyReLU' == 1 (False on padded slots: s == -inf)
+        lpos = jnp.sum(jnp.where(pos, w, 0.0), axis=1)  # [S, H]
         w_agg = w * edge_keep(seed, edge_c, H, p) if (training and p > 0) else w
         acc = jnp.einsum("swh,swhf->shf", w_agg, x,
                          preferred_element_type=jnp.float32)
-        return (m, l, acc), ()
+        accpos = jnp.einsum("swh,swhf->shf", jnp.where(pos, w_agg, 0.0), x,
+                            preferred_element_type=jnp.float32)
+        return (m, l, lpos, acc, accpos), ()
 
-    (m, l, acc), _ = scan_chunked(fn, (nbr, edge, row, count), nbr.shape[0],
-                                  chunk, ())
-    return m, l, acc
+    (m, l, lpos, acc, accpos), _ = scan_chunked(
+        fn, (nbr, edge, row, count), nbr.shape[0], chunk, ())
+    return m, l, lpos, acc, accpos
 
 
 def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training):
     n = adj.num_rows
     xcat = _concat_rows(feat, ac)
-    ms, ls, accs, rows = [], [], [], []
+    ms, ls, lps, accs, accps, rows = [], [], [], [], [], []
     for width, nbr, edge, row, count in adj.bins():
-        m, l, acc = _forward_bin(width, nbr, edge, row, count, ar, ac, feat,
-                                 xcat, slope, p, seed, training)
+        m, l, lpos, acc, accpos = _forward_bin(width, nbr, edge, row, count,
+                                               ar, ac, feat, xcat, slope, p,
+                                               seed, training)
         ms.append(m)
         ls.append(l)
+        lps.append(lpos)
         accs.append(acc)
+        accps.append(accpos)
         rows.append(row)
     m_all = jnp.concatenate(ms)
     l_all = jnp.concatenate(ls)
+    lp_all = jnp.concatenate(lps)
     acc_all = jnp.concatenate(accs)
+    accp_all = jnp.concatenate(accps)
     row_all = jnp.concatenate(rows)
 
     # log-sum-exp merge of row segments (flash-attention-style block combine)
@@ -155,82 +176,13 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training):
     M = jnp.where(jnp.isneginf(M), 0.0, M)
     scale = jnp.where(jnp.isneginf(m_all), 0.0, jnp.exp(m_all - M[row_all]))
     L = _segment_sum(l_all * scale, row_all, n)  # [N, H]
+    Linv = 1.0 / jnp.maximum(L, 1e-20)
     out = _segment_sum(acc_all * scale[..., None], row_all, n)
-    out = out / jnp.maximum(L, 1e-20)[..., None]
-    return out, M, L
-
-
-# ---------------------------------------------------------------------------
-# Backward pass C: CSR bins -> per-destination sums (ws, t1, t2)
-# ---------------------------------------------------------------------------
-
-
-def _bwd_csr_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L, feat,
-                        g_out, slope, p, seed, training):
-    """Wide-row path: SDDMM via the gather_dot DMA kernel (reference
-    analogue: mhsddmm, mhsddmm_kernel.cu:11-99), epilogue in XLA."""
-    from .pallas.gather_ops import gather_dot
-
-    H = ar.shape[-1]
-    F = feat.shape[-1]
-    interpret = jax.default_backend() != "tpu"
-    sub = H * F // 128
-    q3d = g_out[row].astype(jnp.float32).reshape(-1, sub, 128)
-    ge = gather_dot(nbr, q3d,
-                    feat.astype(jnp.float32).reshape(-1, sub, 128), H,
-                    interpret=interpret)  # [S, W, H]
-    mask = lane_mask(count, width)
-    s_raw = ar[row][:, None, :] + ac[nbr]
-    a = _recompute_attn(mask, leaky_relu(s_raw, slope), M[row][:, None, :],
-                        L[row][:, None, :])
-    ah = a * edge_keep(seed, edge, H, p) if (training and p > 0) else a
-    d = leaky_relu_grad(s_raw, slope)
-    ge = ge * a_nonzero_mask(a)  # mask gather_dot garbage on padded slots
-    ws_p = jnp.sum(ah * ge, axis=1)
-    t1_p = jnp.sum(ah * ge * d, axis=1)
-    t2_p = jnp.sum(jnp.where(mask[..., None], a * d, 0.0), axis=1)
-    return ws_p, t1_p, t2_p
-
-
-def a_nonzero_mask(a):
-    return jnp.where(a > 0, 1.0, 0.0)
-
-
-def _bwd_csr_bin(width, nbr, edge, row, count, ar, ac, M, L, feat, xcat,
-                 g_out, slope, p, seed, training):
-    """SDDMM + per-destination softmax-backward sums, one gather
-    (reference analogue: mhsddmm + fused_backward_kernel pass 1,
-    fused_gatconv_kernel.cu:814-931 — without its second pass or atomics):
-      ws = sum_j a^_ij g_ij      t1 = sum_j a^_ij g_ij d_ij
-      t2 = sum_j a_ij d_ij       (d attn_row = t1 - ws * t2)
-    """
-    H = ar.shape[-1]
-    F = feat.shape[-1]
-    if _use_pallas(H, F, width, nbr.shape[0]):
-        return _bwd_csr_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L,
-                                   feat, g_out, slope, p, seed, training)
-    chunk = chunk_rows_for_budget(width, 2 * (H * F + H))
-
-    def fn(nbr_c, edge_c, row_c, count_c):
-        mask = lane_mask(count_c, width)
-        g = xcat[nbr_c]  # [S, W, HF+H] — the ONE edge-sized gather
-        x = g[..., :H * F].reshape(g.shape[0], width, H, F)
-        ac_j = g[..., H * F:].astype(jnp.float32)
-        s_raw = ar[row_c][:, None, :] + ac_j
-        a = _recompute_attn(mask, leaky_relu(s_raw, slope),
-                            M[row_c][:, None, :], L[row_c][:, None, :])
-        ah = a * edge_keep(seed, edge_c, H, p) if (training and p > 0) else a
-        ge = jnp.einsum("shf,swhf->swh", g_out[row_c], x,
-                        preferred_element_type=jnp.float32)
-        d = leaky_relu_grad(s_raw, slope)
-        ws_p = jnp.sum(ah * ge, axis=1)  # [S, H]
-        t1_p = jnp.sum(ah * ge * d, axis=1)
-        t2_p = jnp.sum(jnp.where(mask[..., None], a * d, 0.0), axis=1)
-        return (ws_p, t1_p, t2_p), ()
-
-    (ws_p, t1_p, t2_p), _ = scan_chunked(fn, (nbr, edge, row, count),
-                                         nbr.shape[0], chunk, ())
-    return ws_p, t1_p, t2_p
+    out = out * Linv[..., None]
+    out_pos = _segment_sum(accp_all * scale[..., None], row_all, n)
+    out_pos = out_pos * Linv[..., None]
+    r = _segment_sum(lp_all * scale, row_all, n) * Linv  # sum_{s>=0} a
+    return out, M, L, out_pos, r
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +209,7 @@ def _bwd_csc_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L, ws, feat,
     dx = weighted_gather_accumulate(nbr, ah, g3d, interpret=interpret)
     x3d = feat[row].astype(jnp.float32).reshape(-1, sub, 128)
     ge = gather_dot(nbr, x3d, g3d, H, interpret=interpret)
-    ge = ge * a_nonzero_mask(a)
+    ge = jnp.where(a > 0, ge, 0.0)  # mask gather_dot garbage on padded slots
     u = (ah * ge - a * ws[nbr]) * leaky_relu_grad(s_raw, slope)
     return dx.reshape(-1, H, F), jnp.sum(u, axis=1)
 
@@ -311,39 +263,33 @@ def _bwd_csc_bin(width, nbr, edge, row, count, ar, ac, M, L, ws, feat, zcat,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _gat_fused(slope, p, training, adj_fwd, adj_bwd, ar, ac, feat, seed):
-    out, _, _ = _gat_forward(adj_fwd, ar, ac, feat, slope, p, seed, training)
+    out, _, _, _, _ = _gat_forward(adj_fwd, ar, ac, feat, slope, p, seed,
+                                   training)
     return out
 
 
 def _gat_fused_fwd(slope, p, training, adj_fwd, adj_bwd, ar, ac, feat, seed):
-    out, M, L = _gat_forward(adj_fwd, ar, ac, feat, slope, p, seed, training)
-    # Residuals: softmax stats only — per-edge attention is recomputed.
-    return out, (adj_fwd, adj_bwd, ar, ac, feat, M, L, seed)
+    out, M, L, out_pos, r = _gat_forward(adj_fwd, ar, ac, feat, slope, p,
+                                         seed, training)
+    # Residuals: softmax stats + the sign-split aggregates — per-edge
+    # attention is recomputed in the single backward pass.
+    return out, (adj_fwd, adj_bwd, ar, ac, feat, M, L, out, out_pos, r, seed)
 
 
 def _gat_fused_bwd(slope, p, training, res, g_out):
-    adj_fwd, adj_bwd, ar, ac, feat, M, L, seed = res
+    adj_fwd, adj_bwd, ar, ac, feat, M, L, out, out_pos, r, seed = res
     g_out = g_out.astype(feat.dtype)
     # Bipartite-general: destination rows (adj_fwd) and source rows (adj_bwd)
     # may be different index spaces (graph shards with halo sources).
-    n = adj_fwd.num_rows
     n_src = adj_bwd.num_rows
 
-    # Pass C over forward (CSR) bins: per-destination sums.
-    xcat = _concat_rows(feat, ac)
-    ws_parts, t1_parts, t2_parts, rows_f = [], [], [], []
-    for width, nbr, edge, row, count in adj_fwd.bins():
-        wsp, t1p, t2p = _bwd_csr_bin(width, nbr, edge, row, count, ar, ac, M,
-                                     L, feat, xcat, g_out, slope, p, seed,
-                                     training)
-        ws_parts.append(wsp)
-        t1_parts.append(t1p)
-        t2_parts.append(t2p)
-        rows_f.append(row)
-    row_all = jnp.concatenate(rows_f)
-    ws = _segment_sum(jnp.concatenate(ws_parts), row_all, n)  # [N, H]
-    t1 = _segment_sum(jnp.concatenate(t1_parts), row_all, n)
-    t2 = _segment_sum(jnp.concatenate(t2_parts), row_all, n)
+    # Per-destination softmax backward: closed-form from pass-A residuals
+    # (module docstring) — no edge pass.
+    g32 = g_out.astype(jnp.float32)
+    ws = jnp.einsum("nhf,nhf->nh", g32, out)
+    t1 = jnp.einsum("nhf,nhf->nh", g32,
+                    slope * out + (1.0 - slope) * out_pos)
+    t2 = slope + (1.0 - slope) * r
     d_ar = (t1 - ws * t2).astype(ar.dtype)
 
     # Pass B over transposed (CSC) bins: dX and d attn_col, per-source sums.

@@ -63,7 +63,8 @@ def head_sublane_map(heads: int, feat: int) -> np.ndarray:
 
 
 def _kernel(count_ref, nbr_ref, s_ref, wmult_ref, r_ref, feat_hbm,
-            m_ref, l_ref, acc_ref, xbuf, sem, *, bs, width, use_wmult):
+            m_ref, l_ref, lpos_ref, acc_ref, accpos_ref, xbuf, sem, *,
+            bs, width, use_wmult):
     def gather_segment(seg, buf):
         def issue(j, _):
             pltpu.make_async_copy(
@@ -98,13 +99,20 @@ def _kernel(count_ref, nbr_ref, s_ref, wmult_ref, r_ref, feat_hbm,
         m = jnp.max(s, axis=0, keepdims=True)  # [1, H]
         w = jnp.where(mask, jnp.exp(s - m), 0.0)  # [W, H]
         l = jnp.sum(w, axis=0, keepdims=True)  # [1, H]
+        pos = s >= 0  # LeakyReLU' == 1 (False on padded: s == -inf)
+        lpos = jnp.sum(jnp.where(pos, w, 0.0), axis=0, keepdims=True)
         w_agg = w * wmult_ref[seg] if use_wmult else w
         # head weights -> owning sublanes: [W, H] @ [H, SUB] -> [W, SUB]
         wsub = jnp.dot(w_agg, r_ref[:], preferred_element_type=jnp.float32)
         acc = jnp.sum(wsub[:, :, None] * xbuf[buf], axis=0)  # [SUB, 128]
+        wposs = jnp.dot(jnp.where(pos, w_agg, 0.0), r_ref[:],
+                        preferred_element_type=jnp.float32)
+        accpos = jnp.sum(wposs[:, :, None] * xbuf[buf], axis=0)
         m_ref[pl.ds(seg, 1), :] = m
         l_ref[pl.ds(seg, 1), :] = l
+        lpos_ref[pl.ds(seg, 1), :] = lpos
         acc_ref[seg] = acc
+        accpos_ref[seg] = accpos
         return 0
 
     jax.lax.fori_loop(0, bs, body, 0)
@@ -121,7 +129,9 @@ def gat_forward_bin_pallas(nbr, count, s, wmult, feat3d, *, interpret=False):
       feat3d: [N, SUB, 128] f32 node features (SUB = H*F/128; see
         pallas_shape_ok for the layout requirements).
     Returns:
-      (m [S, H], l [S, H], acc [S, SUB, 128]) per-segment partials.
+      (m [S, H], l [S, H], lpos [S, H], acc [S, SUB, 128],
+      accpos [S, SUB, 128]) per-segment partials; the pos variants restrict
+      to slots with score >= 0 (lpos without dropout multipliers).
     """
     seg, width = nbr.shape
     heads = s.shape[-1]
@@ -136,7 +146,7 @@ def gat_forward_bin_pallas(nbr, count, s, wmult, feat3d, *, interpret=False):
 
     kernel = functools.partial(_kernel, bs=BS, width=width,
                                use_wmult=use_wmult)
-    m, l, acc = pl.pallas_call(
+    m, l, lpos, acc, accpos = pl.pallas_call(
         kernel,
         grid=(seg // BS,),
         in_specs=[
@@ -156,12 +166,18 @@ def gat_forward_bin_pallas(nbr, count, s, wmult, feat3d, *, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BS, heads), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((BS, heads), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BS, sub, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((BS, sub, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((seg, heads), jnp.float32),
             jax.ShapeDtypeStruct((seg, heads), jnp.float32),
+            jax.ShapeDtypeStruct((seg, heads), jnp.float32),
+            jax.ShapeDtypeStruct((seg, sub, LANE), jnp.float32),
             jax.ShapeDtypeStruct((seg, sub, LANE), jnp.float32),
         ],
         scratch_shapes=[
@@ -175,4 +191,4 @@ def gat_forward_bin_pallas(nbr, count, s, wmult, feat3d, *, interpret=False):
             transcendentals=seg * width * heads),
         interpret=interpret,
     )(count.reshape(-1, 1), nbr, s, wmult, rmat, feat3d)
-    return m, l, acc
+    return m, l, lpos, acc, accpos

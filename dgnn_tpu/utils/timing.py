@@ -28,7 +28,8 @@ def fetch_scalar(tree):
 
 
 def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
-                    min_signal: float = 0.2, max_epochs: int = 100_000):
+                    min_signal: float = 0.2, max_epochs: int = 100_000,
+                    consts=None):
     """Seconds/epoch of ``carry = step(carry, subkey)`` run device-resident.
 
     One dispatch covers all epochs (lax.fori_loop with a dynamic trip count,
@@ -38,24 +39,31 @@ def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
     the remaining signal exceeds ``min_signal`` seconds, so sub-millisecond
     epochs on a high-latency tunnelled device still time accurately.
 
+    ``consts``: optional pytree of loop-invariant arrays (graph tables,
+    features, ...).  When given, ``step(carry, subkey, consts)`` is called
+    and the tree is threaded as a real jit argument — closing over large
+    concrete arrays instead would bake them into the executable as
+    compile-time constants (slow lowering, duplicated HBM).
+
     Returns (seconds_per_epoch, final_carry).
     """
 
     def body(_, state):
-        c, k = state
+        c, k, cs = state
         k, sub = jax.random.split(k)
-        return step(c, sub), k
+        c = step(c, sub) if cs is None else step(c, sub, cs)
+        return c, k, cs
 
     runner = jax.jit(
         lambda state, n: jax.lax.fori_loop(0, n, body, state))
 
-    state = runner((carry, key), warmup)
-    fetch_scalar(state)
+    state = runner((carry, key, consts), warmup)
+    fetch_scalar(state[0])
 
     def run(n):
         t0 = time.perf_counter()
         out = runner(state, n)
-        fetch_scalar(out)
+        fetch_scalar(out[0])
         return time.perf_counter() - t0, out
 
     t0a, _ = run(0)

@@ -82,7 +82,8 @@ def main(args):
     xtr_d = jnp.asarray(xtr[: steps_per_epoch * args.batch_size])
     ytr_d = jnp.asarray(ytr[: steps_per_epoch * args.batch_size])
 
-    def epoch_step(carry, key):
+    def epoch_step(carry, key, cs):
+        xtr_d, ytr_d = cs
         params, batch_stats, opt_state, _, _ = carry
         kperm, kscale, kshift, kdrop = jax.random.split(key, 4)
         order = jax.random.permutation(kperm, xtr_d.shape[0])
@@ -114,7 +115,8 @@ def main(args):
     carry = (params, batch_stats, opt_state, jnp.float32(0), jnp.float32(0))
     train_time, carry = time_epoch_loop(epoch_step, carry, key,
                                         args.num_epochs, warmup=1,
-                                        min_signal=2.0)
+                                        min_signal=2.0,
+                                        consts=(xtr_d, ytr_d))
     params, batch_stats = carry[0], carry[1]
     max_mb = device_peak_memory_mb()
     print(f"final train loss {float(carry[3]):.4f} acc {float(carry[4]):.4f}")
@@ -126,18 +128,18 @@ def main(args):
     yte_d = jnp.asarray(yte[: n_eval_batches * args.batch_size]).reshape(
         n_eval_batches, args.batch_size)
 
-    def infer_epoch(carry, _key):
+    def infer_epoch(carry, _key, cs):
         def body(c, batch):
             x, y = batch
             return c + eval_step(params, batch_stats, x + c * 1e-30, y), None
 
         # reset each epoch; the 1e-30 carry-dependence prevents loop hoisting
-        total, _ = jax.lax.scan(body, carry * 1e-30, (xte_d, yte_d))
+        total, _ = jax.lax.scan(body, carry * 1e-30, cs)
         return total
 
     inference_time, correct = time_epoch_loop(
         infer_epoch, jnp.float32(0), key, max(args.num_epochs, 1), warmup=1,
-        min_signal=2.0)
+        min_signal=2.0, consts=(xte_d, yte_d))
     acc = float(correct) / (n_eval_batches * args.batch_size)
 
     print(f"Test Accuracy {acc:.4f}")

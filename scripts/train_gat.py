@@ -48,7 +48,8 @@ def main(args):
                      optax.adam(args.lr))
     opt_state = tx.init(params)
 
-    def train_step(carry, dropout_key):
+    def train_step(carry, dropout_key, cs):
+        graph, features, labels, train_mask = cs
         params, opt_state, _ = carry
 
         def loss_fn(p):
@@ -65,9 +66,10 @@ def main(args):
 
     print(args)
     print("profile training")
+    consts = (graph, features, labels, train_mask)
     carry = (params, opt_state, jnp.float32(0))
     train_time, carry = time_epoch_loop(train_step, carry, key, args.n_epochs,
-                                        warmup=10)
+                                        warmup=10, consts=consts)
     params = carry[0]
     max_mb = device_peak_memory_mb()
     if args.verbose:
@@ -75,13 +77,15 @@ def main(args):
 
     print("profile inference")
 
-    def infer_step(carry, _key):
+    def infer_step(carry, _key, cs):
+        graph, features, _, _ = cs
         # tiny carry-dependence keeps the loop body from being hoisted
         logits = model.apply(params, graph, features + carry * 1e-30)
         return logits[0, 0]
 
     inference_time, _ = time_epoch_loop(infer_step, jnp.float32(0), key,
-                                        args.n_epochs, warmup=3)
+                                        args.n_epochs, warmup=3,
+                                        consts=consts)
     logits = jax.jit(lambda p: model.apply(p, graph, features))(params)
 
     pred = jnp.argmax(logits, axis=1)

@@ -33,7 +33,8 @@ def test_forward_matches_dense(rng, power_law):
 
 def test_forward_stats_match_dense(rng):
     g, ar, ac, feat, adj = _setup(rng)
-    _, M, L = _gat_forward(g.fwd, ar, ac, feat, 0.2, 0.0, jnp.uint32(0), False)
+    _, M, L, _, _ = _gat_forward(g.fwd, ar, ac, feat, 0.2, 0.0, jnp.uint32(0),
+                                 False)
     _, m_ref, l_ref = reference.gat_dense(adj, ar, ac, feat, 0.2)
     np.testing.assert_allclose(M, m_ref, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(L, l_ref, rtol=1e-5, atol=1e-5)

@@ -29,13 +29,16 @@ def test_pallas_fwd_bin_matches_xla(rng):
     seed = jnp.uint32(0)
     for width, nbr, edge, row, count in g.fwd.bins():
         xcat = _concat_rows(feat, ac)
-        m0, l0, acc0 = _forward_bin(width, nbr, edge, row, count, ar, ac,
-                                    feat, xcat, 0.2, 0.0, seed, False)
-        m1, l1, acc1 = _forward_bin_pallas(width, nbr, edge, row, count, ar,
-                                           ac, feat, 0.2, 0.0, seed, False)
+        m0, l0, lp0, acc0, accp0 = _forward_bin(
+            width, nbr, edge, row, count, ar, ac, feat, xcat, 0.2, 0.0, seed,
+            False)
+        m1, l1, lp1, acc1, accp1 = _forward_bin_pallas(
+            width, nbr, edge, row, count, ar, ac, feat, 0.2, 0.0, seed, False)
         np.testing.assert_allclose(m1, m0, rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(l1, l0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(lp1, lp0, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(acc1, acc0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(accp1, accp0, rtol=1e-5, atol=1e-5)
 
 
 def test_pallas_fwd_bin_with_dropout(rng):
@@ -43,13 +46,16 @@ def test_pallas_fwd_bin_with_dropout(rng):
     seed = jnp.uint32(1234)
     for width, nbr, edge, row, count in g.fwd.bins():
         xcat = _concat_rows(feat, ac)
-        m0, l0, acc0 = _forward_bin(width, nbr, edge, row, count, ar, ac,
-                                    feat, xcat, 0.2, 0.4, seed, True)
-        m1, l1, acc1 = _forward_bin_pallas(width, nbr, edge, row, count, ar,
-                                           ac, feat, 0.2, 0.4, seed, True)
+        m0, l0, lp0, acc0, accp0 = _forward_bin(
+            width, nbr, edge, row, count, ar, ac, feat, xcat, 0.2, 0.4, seed,
+            True)
+        m1, l1, lp1, acc1, accp1 = _forward_bin_pallas(
+            width, nbr, edge, row, count, ar, ac, feat, 0.2, 0.4, seed, True)
         np.testing.assert_allclose(m1, m0, rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(l1, l0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(lp1, lp0, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(acc1, acc0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(accp1, accp0, rtol=1e-5, atol=1e-5)
 
 
 def test_pallas_backward_matches_dense(rng):
