@@ -69,7 +69,7 @@ def _citation_graph(name, scale=1.0):
         n_full, e_full, din, ncls = CITATION_SHAPES["reddit"]
         n, e = int(n_full * scale), int(e_full * scale)
         os.makedirs(CACHE_DIR, exist_ok=True)
-        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}.npz")
+        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_aw1.npz")
         if os.path.exists(path):
             g = gcache.load_graph(path)
         else:
@@ -86,6 +86,19 @@ def _citation_graph(name, scale=1.0):
             data.n_classes)
 
 
+def _pseudo_bins(graph):
+    import jax
+    import jax.numpy as jnp
+
+    from dgnn_tpu.ops.gmm import bin_pseudo
+
+    deg = jnp.maximum(graph.in_degrees().astype(jnp.float32), 1.0)
+    rsq = jax.lax.rsqrt(deg)
+    row = jnp.repeat(jnp.arange(graph.num_nodes), jnp.diff(graph.row_ptr),
+                     total_repeat_length=graph.num_edges)
+    return bin_pseudo(graph, jnp.stack([rsq[graph.col_ind], rsq[row]], 1))
+
+
 def bench_gat(dataset, scale, epochs, infer=False):
     import jax
     import jax.numpy as jnp
@@ -95,6 +108,7 @@ def bench_gat(dataset, scale, epochs, infer=False):
     from dgnn_tpu.utils import time_epoch_loop
 
     graph, feat, labels, ncls = _citation_graph(dataset, scale)
+    graph = graph.slim()  # bins only on device
     model = GAT(num_layers=1, n_hidden=64, n_classes=ncls, heads=(4, 1),
                 feat_drop=0.5, attn_drop=0.0)
     key = jax.random.PRNGKey(0)
@@ -142,11 +156,8 @@ def bench_gmm(dataset, scale, epochs, n_kernels):
     from dgnn_tpu.utils import time_epoch_loop
 
     graph, feat, labels, ncls = _citation_graph(dataset, scale)
-    deg = jnp.maximum(graph.in_degrees().astype(jnp.float32), 1.0)
-    rsq = jax.lax.rsqrt(deg)
-    row = jnp.repeat(jnp.arange(graph.num_nodes), jnp.diff(graph.row_ptr),
-                     total_repeat_length=graph.num_edges)
-    pseudo = bin_pseudo(graph, jnp.stack([rsq[graph.col_ind], rsq[row]], 1))
+    pseudo = _pseudo_bins(graph)
+    graph = graph.slim()  # bins only on device
 
     model = MoNet(n_hidden=64, out_feats=ncls, n_layers=1, dim=2,
                   n_kernels=n_kernels, dropout=0.5)
@@ -290,17 +301,39 @@ def main():
 
     details = {}
     speedups = []
+    single = os.environ.get("BENCH_CHILD") == "1"
     for name, fn in runners.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            dt = fn()
-        except Exception as ex:  # keep the suite robust: one config failing
-            log(f"# {name}: FAILED {type(ex).__name__}: {ex}")
-            details[name] = {"error": str(ex)[:500]}
-            speedups.append(0.01)
-            continue
+        if single or (only and len(only) == 1):
+            try:
+                dt = fn()
+            except Exception as ex:
+                log(f"# {name}: FAILED {type(ex).__name__}: {ex}")
+                details[name] = {"error": str(ex)[:500]}
+                speedups.append(0.01)
+                continue
+        else:
+            # one subprocess per config: an OOM on one cannot poison the rest
+            import subprocess
+            env = dict(os.environ, BENCH_CONFIGS=name, BENCH_CHILD="1")
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=3600)
+            dt = None
+            for line in r.stdout.splitlines():
+                try:
+                    rec = json.loads(line)
+                    dt = rec.get("_seconds")
+                except Exception:
+                    continue
+            if dt is None:
+                tail = (r.stderr or "")[-400:]
+                log(f"# {name}: FAILED (subprocess rc={r.returncode}) {tail}")
+                details[name] = {"error": tail}
+                speedups.append(0.01)
+                continue
         ref = REF[name]
         ref_eff = ref if name not in ("gat_reddit_train", "gmm_reddit_train") \
             else ref * scale
@@ -310,6 +343,13 @@ def main():
         speedups.append(sp)
         log(f"# {name}: {dt:.6f}s ref={ref_eff:.6f}s speedup={sp:.2f}x "
             f"(wall {time.time() - t0:.0f}s)")
+
+    if single:
+        # child mode: emit the raw seconds for the parent and exit
+        print(json.dumps({"_seconds": details[next(iter(details))].get(
+            "seconds") if details and "seconds" in details[next(iter(details))]
+            else None}))
+        return
 
     g = math.exp(sum(math.log(s) for s in speedups) / len(speedups))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

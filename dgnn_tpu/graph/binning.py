@@ -22,11 +22,49 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ["BinnedCSR", "bin_csr", "DEFAULT_WIDTHS"]
+__all__ = ["BinnedCSR", "bin_csr", "auto_widths", "DEFAULT_WIDTHS"]
 
 # Widths cover mean degrees from citation graphs (~4) to Reddit (~500).
 # The widest bin also serves as the split width for mega-rows.
 DEFAULT_WIDTHS = (8, 32, 128, 512)
+
+_WIDTH_CANDIDATES = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+def auto_widths(deg, max_bins: int = 5,
+                candidates=_WIDTH_CANDIDATES) -> tuple:
+    """Pick bin widths minimizing total padded slots for this degree
+    distribution (gathers are rate-bound per SLOT on TPU, so padding is
+    directly wasted time).  Exact DP over the candidate set; mega-rows are
+    split at the largest width and cost ceil(d/wmax)*wmax."""
+    import itertools
+
+    deg = np.asarray(deg)
+    deg = deg[deg > 0]
+    if deg.size == 0:
+        return (candidates[0],)
+    dmax = int(deg.max())
+    cands = [int(w) for w in sorted(set(candidates))]
+    cover = [w for w in cands if w >= dmax]
+    if cover:  # drop widths beyond the smallest one covering dmax
+        cands = [w for w in cands if w <= cover[0]]
+    # hist[w] for candidate thresholds: slots if a row lands in width w
+    best, best_cost = None, None
+    for r in range(1, min(max_bins, len(cands)) + 1):
+        for combo in itertools.combinations(cands, r):
+            lo = 0
+            cost = 0
+            for w in combo:
+                if w == combo[-1]:
+                    sel = deg > lo
+                    cost += int(np.sum(-(-deg[sel] // w)) * w)
+                else:
+                    sel = (deg > lo) & (deg <= w)
+                    cost += int(np.count_nonzero(sel)) * w
+                lo = w
+            if best_cost is None or cost < best_cost:
+                best, best_cost = combo, cost
+    return tuple(best)
 
 # Segments-per-bin padding so sublane dims stay aligned for Pallas kernels.
 _SEG_PAD = 8

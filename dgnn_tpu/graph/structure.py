@@ -81,18 +81,35 @@ class Graph:
     def out_degrees(self) -> jax.Array:
         return jnp.diff(self.col_ptr)
 
+    def slim(self) -> "Graph":
+        """Graph with the raw CSR/CSC/permute arrays dropped (zero-length).
+
+        The fused ops consume only the binned layouts; the raw arrays (~12
+        bytes/edge — 1.4 GB at Reddit scale) are preprocessing outputs that
+        should not ride along into jit arguments / device memory.  Use the
+        full graph for setup (degrees, pseudo binning), then pass
+        ``graph.slim()`` into training steps."""
+        empty = jnp.zeros((0,), jnp.int32)
+        return dataclasses.replace(self, row_ptr=empty, col_ind=empty,
+                                   col_ptr=empty, row_ind=empty,
+                                   permute=empty)
+
 
 def build_graph(
     src,
     dst,
     num_nodes: int,
     *,
-    widths: Sequence[int] = _binning.DEFAULT_WIDTHS,
+    widths: Sequence[int] | None = None,
     self_loops: bool = True,
 ) -> Graph:
     """Host-side one-time preprocessing from a COO edge list (edge u->v means
     v aggregates u), mirroring the reference pipeline
-    (train_gatconv.py:75-94) with degree binning added."""
+    (train_gatconv.py:75-94) with degree binning added.
+
+    ``widths=None`` picks bin widths per direction from the degree histogram
+    (binning.auto_widths) — padding in the slot tables is directly wasted
+    gather time, so the widths minimize total padded slots."""
     src = np.asarray(src)
     dst = np.asarray(dst)
     if self_loops:
@@ -100,8 +117,12 @@ def build_graph(
         src, dst = _build.add_self_loops(src, dst, num_nodes)
     row_ptr, col_ind = _build.coo_to_csr(src, dst, num_nodes)
     col_ptr, row_ind, permute = _build.csr_to_csc_permute(row_ptr, col_ind)
-    fwd = _binning.bin_csr(row_ptr, col_ind, widths=widths)
-    bwd = _binning.bin_csr(col_ptr, row_ind, edge_ids=permute, widths=widths)
+    w_fwd = widths if widths is not None else _binning.auto_widths(
+        np.diff(row_ptr))
+    w_bwd = widths if widths is not None else _binning.auto_widths(
+        np.diff(col_ptr))
+    fwd = _binning.bin_csr(row_ptr, col_ind, widths=w_fwd)
+    bwd = _binning.bin_csr(col_ptr, row_ind, edge_ids=permute, widths=w_bwd)
     return Graph(
         row_ptr=jnp.asarray(row_ptr, dtype=jnp.int32),
         col_ind=jnp.asarray(col_ind),

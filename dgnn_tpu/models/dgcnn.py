@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..graph.knn import knn_graph, knn_mask_neg
@@ -58,8 +59,11 @@ class DGCNN(nn.Module):
         hs = []
         h = x
         for i, dim in enumerate(self.feature_dims):
-            # dynamic graph from current features, as a dense per-cloud mask
-            mask = knn_mask_neg(h, self.k)
+            # dynamic graph from current features, as a dense per-cloud mask;
+            # graph construction is not differentiated (reference likewise),
+            # and stop_gradient keeps AD from building a backward path
+            # through the top_k / distance matrix
+            mask = jax.lax.stop_gradient(knn_mask_neg(h, self.k))
             h = EdgeConv(dim, name=f"conv_{i}")(mask, h, training=training)
             h = nn.leaky_relu(h, negative_slope=0.2)
             hs.append(h)

@@ -18,8 +18,8 @@ import optax
 
 from dgnn_tpu.data import load_modelnet
 from dgnn_tpu.models import DGCNN
-from dgnn_tpu.utils import (append_csv_row, device_peak_memory_mb,
-                            time_epoch_loop)
+from dgnn_tpu.utils import (CheckpointManager, append_csv_row,
+                            device_peak_memory_mb, time_epoch_loop)
 
 
 def compute_loss(logits, y, eps=0.2):
@@ -49,6 +49,20 @@ def main(args):
     key = jax.random.PRNGKey(0)
     variables = model.init(key, jnp.asarray(xtr[: args.batch_size]))
     params, batch_stats = variables["params"], variables["batch_stats"]
+
+    # checkpoint/resume (reference has --load/--save-model-path but never
+    # saves, train_edgeconv.py:246-247; here both work, via orbax)
+    ckpt = None
+    if args.save_model_path or args.load_model_path:
+        ckpt = CheckpointManager(os.path.abspath(args.save_model_path or
+                                                 args.load_model_path))
+    if args.load_model_path and ckpt is not None:
+        restored = ckpt.restore_latest({"params": params,
+                                        "batch_stats": batch_stats})
+        if restored is not None:
+            step0, state = restored
+            params, batch_stats = state["params"], state["batch_stats"]
+            print(f"restored checkpoint at step {step0}")
 
     steps_per_epoch = len(xtr) // args.batch_size
     sched = optax.cosine_decay_schedule(0.1, args.num_epochs * steps_per_epoch,
@@ -142,6 +156,12 @@ def main(args):
         min_signal=2.0, consts=(xte_d, yte_d))
     acc = float(correct) / (n_eval_batches * args.batch_size)
 
+    if args.save_model_path and ckpt is not None:
+        ckpt.save(args.num_epochs, {"params": params,
+                                    "batch_stats": batch_stats}, force=True)
+        ckpt.wait()
+        print(f"saved checkpoint to {args.save_model_path}")
+
     print(f"Test Accuracy {acc:.4f}")
     print(f"max memory:{max_mb:.0f}MB")
     print("train time:", train_time)
@@ -162,4 +182,6 @@ if __name__ == "__main__":
     parser.add_argument("--train-samples", type=int, default=512)
     parser.add_argument("--test-samples", type=int, default=128)
     parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--save-model-path", type=str, default="")
+    parser.add_argument("--load-model-path", type=str, default="")
     main(parser.parse_args())

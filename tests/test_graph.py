@@ -116,3 +116,28 @@ def test_bwd_bins_carry_csr_edge_ids(rng):
                 e = edge[s, j]
                 assert col_ind[e] == row[s]      # CSR source = bwd bin row
                 assert csr_row[e] == nbr[s, j]   # CSR dest = bwd slot nbr
+
+
+def test_auto_widths_minimizes_padding(rng):
+    from dgnn_tpu.graph.binning import auto_widths, bin_csr, DEFAULT_WIDTHS
+    import numpy as np
+
+    # low-degree graph: auto widths should waste fewer slots than defaults
+    deg = rng.integers(1, 6, 500)
+    ptr = np.zeros(501, np.int64)
+    np.cumsum(deg, out=ptr[1:])
+    col = rng.integers(0, 500, int(ptr[-1])).astype(np.int32)
+    w = auto_widths(deg)
+    assert all(x in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512) for x in w)
+    b_auto = bin_csr(ptr, col, widths=w)
+    b_def = bin_csr(ptr, col, widths=DEFAULT_WIDTHS)
+    assert b_auto.fill_ratio() >= b_def.fill_ratio()
+    assert b_auto.fill_ratio() > 0.7
+
+
+def test_auto_widths_mega_rows(rng):
+    from dgnn_tpu.graph.binning import auto_widths
+
+    deg = np.concatenate([np.full(100, 3), [5000, 20000]])
+    w = auto_widths(deg)
+    assert w[-1] <= 512 and len(w) <= 5
