@@ -28,15 +28,21 @@ __all__ = ["BinnedCSR", "bin_csr", "auto_widths", "DEFAULT_WIDTHS"]
 # The widest bin also serves as the split width for mega-rows.
 DEFAULT_WIDTHS = (8, 32, 128, 512)
 
-_WIDTH_CANDIDATES = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+_WIDTH_CANDIDATES = (4, 8, 16, 32, 64, 128, 256, 512)
+
+# An extra bin costs ~60us of op overhead per pass (measured on small
+# graphs), i.e. ~4096 gather-slots at the ~75M rows/s rate wall — an extra
+# bin must save at least that much padding to pay for itself.
+_BIN_PENALTY_SLOTS = 4096
 
 
-def auto_widths(deg, max_bins: int = 5,
-                candidates=_WIDTH_CANDIDATES) -> tuple:
+def auto_widths(deg, max_bins: int = 4, candidates=_WIDTH_CANDIDATES,
+                bin_penalty: int = _BIN_PENALTY_SLOTS) -> tuple:
     """Pick bin widths minimizing total padded slots for this degree
     distribution (gathers are rate-bound per SLOT on TPU, so padding is
-    directly wasted time).  Exact DP over the candidate set; mega-rows are
-    split at the largest width and cost ceil(d/wmax)*wmax."""
+    directly wasted time).  Exact search over the candidate set; mega-rows
+    are split at the chosen largest width and cost ceil(d/wmax)*wmax; each
+    additional bin pays ``bin_penalty`` slots of fixed op overhead."""
     import itertools
 
     deg = np.asarray(deg)
@@ -48,19 +54,22 @@ def auto_widths(deg, max_bins: int = 5,
     cover = [w for w in cands if w >= dmax]
     if cover:  # drop widths beyond the smallest one covering dmax
         cands = [w for w in cands if w <= cover[0]]
-    # hist[w] for candidate thresholds: slots if a row lands in width w
     best, best_cost = None, None
     for r in range(1, min(max_bins, len(cands)) + 1):
         for combo in itertools.combinations(cands, r):
             lo = 0
-            cost = 0
+            cost = (r - 1) * bin_penalty
             for w in combo:
+                # each slot is one rate-bound gathered row; each SEGMENT also
+                # costs one rate-bound resident-row fetch (+ merge work), so
+                # splitting rows is not free: cost = slots + segments
                 if w == combo[-1]:
                     sel = deg > lo
-                    cost += int(np.sum(-(-deg[sel] // w)) * w)
+                    nseg = int(np.sum(-(-deg[sel] // w)))
+                    cost += nseg * (w + 1)
                 else:
                     sel = (deg > lo) & (deg <= w)
-                    cost += int(np.count_nonzero(sel)) * w
+                    cost += int(np.count_nonzero(sel)) * (w + 1)
                 lo = w
             if best_cost is None or cost < best_cost:
                 best, best_cost = combo, cost
