@@ -114,11 +114,11 @@ def _forward_bin_pallas(width, nbr, edge, row, count, ar, ac, feat, slope, p,
 
 
 def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, xcat, slope, p,
-                 seed, training):
-    """Per-bin streaming pass: per-segment (max, sumexp, weighted acc) plus
-    the sign-split partials (sum-exp and weighted acc restricted to edges
-    with score >= 0) that make softmax backward's per-destination half
-    node-local (see module docstring)."""
+                 seed, training, with_pos=True):
+    """Per-bin streaming pass: per-segment (max, sumexp, weighted acc) plus —
+    when ``with_pos`` (training) — the sign-split partials (sum-exp and
+    weighted acc restricted to edges with score >= 0) that make softmax
+    backward's per-destination half node-local (see module docstring)."""
     H = ar.shape[-1]
     F = feat.shape[-1]
     if _use_pallas(H, F, width, nbr.shape[0]):
@@ -136,28 +136,35 @@ def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, xcat, slope, p,
         m = jnp.max(s, axis=1)  # [S, H]; -inf for empty segments
         w = jnp.where(mask[..., None], jnp.exp(s - m[:, None, :]), 0.0)
         l = jnp.sum(w, axis=1)  # [S, H]
-        pos = s >= 0  # LeakyReLU' == 1 (False on padded slots: s == -inf)
-        lpos = jnp.sum(jnp.where(pos, w, 0.0), axis=1)  # [S, H]
         w_agg = w * edge_keep(seed, edge_c, H, p) if (training and p > 0) else w
         acc = jnp.einsum("swh,swhf->shf", w_agg, x,
                          preferred_element_type=jnp.float32)
+        if not with_pos:
+            return (m, l, acc), ()
+        pos = s >= 0  # LeakyReLU' == 1 (False on padded slots: s == -inf)
+        lpos = jnp.sum(jnp.where(pos, w, 0.0), axis=1)  # [S, H]
         accpos = jnp.einsum("swh,swhf->shf", jnp.where(pos, w_agg, 0.0), x,
                             preferred_element_type=jnp.float32)
         return (m, l, lpos, acc, accpos), ()
 
-    (m, l, lpos, acc, accpos), _ = scan_chunked(
-        fn, (nbr, edge, row, count), nbr.shape[0], chunk, ())
-    return m, l, lpos, acc, accpos
+    outs, _ = scan_chunked(fn, (nbr, edge, row, count), nbr.shape[0], chunk,
+                           ())
+    if not with_pos:
+        m, l, acc = outs
+        return m, l, None, acc, None
+    return outs
 
 
-def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training):
+def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
+                 with_pos=True):
     n = adj.num_rows
     xcat = _concat_rows(feat, ac)
     ms, ls, lps, accs, accps, rows = [], [], [], [], [], []
     for width, nbr, edge, row, count in adj.bins():
         m, l, lpos, acc, accpos = _forward_bin(width, nbr, edge, row, count,
                                                ar, ac, feat, xcat, slope, p,
-                                               seed, training)
+                                               seed, training,
+                                               with_pos=with_pos)
         ms.append(m)
         ls.append(l)
         lps.append(lpos)
@@ -166,9 +173,7 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training):
         rows.append(row)
     m_all = jnp.concatenate(ms)
     l_all = jnp.concatenate(ls)
-    lp_all = jnp.concatenate(lps)
     acc_all = jnp.concatenate(accs)
-    accp_all = jnp.concatenate(accps)
     row_all = jnp.concatenate(rows)
 
     # log-sum-exp merge of row segments (flash-attention-style block combine)
@@ -179,9 +184,12 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training):
     Linv = 1.0 / jnp.maximum(L, 1e-20)
     out = _segment_sum(acc_all * scale[..., None], row_all, n)
     out = out * Linv[..., None]
-    out_pos = _segment_sum(accp_all * scale[..., None], row_all, n)
+    if not with_pos or any(x is None for x in lps):
+        return out, M, L, None, None
+    out_pos = _segment_sum(jnp.concatenate(accps) * scale[..., None],
+                           row_all, n)
     out_pos = out_pos * Linv[..., None]
-    r = _segment_sum(lp_all * scale, row_all, n) * Linv  # sum_{s>=0} a
+    r = _segment_sum(jnp.concatenate(lps) * scale, row_all, n) * Linv
     return out, M, L, out_pos, r
 
 
@@ -263,8 +271,9 @@ def _bwd_csc_bin(width, nbr, edge, row, count, ar, ac, M, L, ws, feat, zcat,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _gat_fused(slope, p, training, adj_fwd, adj_bwd, ar, ac, feat, seed):
+    # primal-only path (inference / no grads): skip the sign-split work
     out, _, _, _, _ = _gat_forward(adj_fwd, ar, ac, feat, slope, p, seed,
-                                   training)
+                                   training, with_pos=False)
     return out
 
 

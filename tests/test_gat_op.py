@@ -136,3 +136,14 @@ def test_jit_and_chunking_consistency(rng):
     finally:
         common.GATHER_BUDGET_BYTES = orig
     np.testing.assert_allclose(out_big, out_small, rtol=1e-5, atol=1e-6)
+
+
+def test_inference_primal_matches_vjp_forward(rng):
+    """The light primal-only forward (no sign-split accumulators) must equal
+    the forward used under differentiation."""
+    g, ar, ac, feat, _ = _setup(rng)
+
+    out_inf = gat_aggregate(g, ar, ac, feat)  # primal path
+    out_train, _ = jax.vjp(
+        lambda a, b, c: gat_aggregate(g, a, b, c), ar, ac, feat)
+    np.testing.assert_allclose(out_inf, out_train, rtol=1e-6, atol=1e-6)
