@@ -69,7 +69,7 @@ def _citation_graph(name, scale=1.0):
         n_full, e_full, din, ncls = CITATION_SHAPES["reddit"]
         n, e = int(n_full * scale), int(e_full * scale)
         os.makedirs(CACHE_DIR, exist_ok=True)
-        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_aw1.npz")
+        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_aw2.npz")
         if os.path.exists(path):
             g = gcache.load_graph(path)
         else:

@@ -28,7 +28,8 @@ __all__ = ["BinnedCSR", "bin_csr", "auto_widths", "DEFAULT_WIDTHS"]
 # The widest bin also serves as the split width for mega-rows.
 DEFAULT_WIDTHS = (8, 32, 128, 512)
 
-_WIDTH_CANDIDATES = (4, 8, 16, 32, 64, 128, 256, 512)
+_WIDTH_CANDIDATES = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+                     8192, 16384, 32768, 65536, 131072)
 
 # An extra bin costs ~60us of op overhead per pass (measured on small
 # graphs), i.e. ~4096 gather-slots at the ~75M rows/s rate wall — an extra
@@ -62,7 +63,10 @@ def auto_widths(deg, max_bins: int = 4, candidates=_WIDTH_CANDIDATES,
             for w in combo:
                 # each slot is one rate-bound gathered row; each SEGMENT also
                 # costs one rate-bound resident-row fetch (+ merge work), so
-                # splitting rows is not free: cost = slots + segments
+                # splitting rows is not free: cost = slots + segments.
+                # Wide bins keep rows unsplit — segments-per-row stays tiny
+                # so the [N, K] combine tables (see combine_table) stay small
+                # and segment-partial arrays stay ~N-sized.
                 if w == combo[-1]:
                     sel = deg > lo
                     nseg = int(np.sum(-(-deg[sel] // w)))
@@ -74,6 +78,38 @@ def auto_widths(deg, max_bins: int = 4, candidates=_WIDTH_CANDIDATES,
             if best_cost is None or cost < best_cost:
                 best, best_cost = combo, cost
     return tuple(best)
+
+
+def combine_table(rows_concat: np.ndarray, num_rows: int,
+                  valid: np.ndarray | None = None) -> np.ndarray:
+    """[R, K] int32 positions of each row's segment partials in the
+    concatenated per-bin order (-1 padded); K = max segments per row.
+
+    This is the scatter-free merge structure: after the per-bin passes
+    produce per-segment partials (m, l, acc, ...) concatenated across bins,
+    each graph row's result is a masked reduction over its K gathered
+    partials — an [R, K] GATHER, never a segment_sum/scatter (XLA's
+    segment ops run ~100x below the streaming rate on TPU).
+
+    ``valid`` masks out the _SEG_PAD padding segments (count == 0) so they
+    never enter any row's list."""
+    rows_concat = np.asarray(rows_concat, dtype=np.int64)
+    pos = np.arange(rows_concat.shape[0], dtype=np.int64)
+    if valid is not None:
+        keep = np.asarray(valid).astype(bool)
+        rows_concat = rows_concat[keep]
+        pos = pos[keep]
+    counts = np.bincount(rows_concat, minlength=num_rows)
+    k = max(int(counts.max(initial=0)), 1)
+    tbl = np.full((num_rows, k), -1, np.int32)
+    order = np.argsort(rows_concat, kind="stable")
+    sorted_rows = rows_concat[order]
+    # position within each row's group
+    first = np.zeros(num_rows + 1, np.int64)
+    np.cumsum(counts, out=first[1:])
+    slot = np.arange(len(order), dtype=np.int64) - first[sorted_rows]
+    tbl[sorted_rows, slot] = pos[order].astype(np.int32)
+    return tbl
 
 # Segments-per-bin padding so sublane dims stay aligned for Pallas kernels.
 _SEG_PAD = 8

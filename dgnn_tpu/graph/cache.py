@@ -26,6 +26,8 @@ def _pack_binned(prefix: str, adj: BinnedAdj, store: dict, meta: dict):
         store[f"{prefix}_edge_{i}"] = np.asarray(adj.edge[i])
         store[f"{prefix}_row_{i}"] = np.asarray(adj.row[i])
         store[f"{prefix}_count_{i}"] = np.asarray(adj.count[i])
+    if adj.cmb is not None:
+        store[f"{prefix}_cmb"] = np.asarray(adj.cmb)
 
 
 def _unpack_binned(prefix: str, z, meta: dict) -> BinnedAdj:
@@ -36,6 +38,8 @@ def _unpack_binned(prefix: str, z, meta: dict) -> BinnedAdj:
         edge=tuple(jnp.asarray(z[f"{prefix}_edge_{i}"]) for i in range(nbins)),
         row=tuple(jnp.asarray(z[f"{prefix}_row_{i}"]) for i in range(nbins)),
         count=tuple(jnp.asarray(z[f"{prefix}_count_{i}"]) for i in range(nbins)),
+        cmb=(jnp.asarray(z[f"{prefix}_cmb"]) if f"{prefix}_cmb" in z.files
+             else None),
         widths=tuple(m["widths"]),
         num_rows=m["num_rows"],
         num_edges=m["num_edges"],

@@ -25,12 +25,19 @@ __all__ = ["BinnedAdj", "Graph", "build_graph", "from_binned"]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BinnedAdj:
-    """Degree-binned adjacency on device. See binning.BinnedCSR."""
+    """Degree-binned adjacency on device. See binning.BinnedCSR.
+
+    ``cmb``: optional [num_rows, K] combine table (binning.combine_table) —
+    per row, the positions of its segment partials in the concatenated
+    per-bin order (-1 padded).  When present, ops merge per-segment partials
+    with an [N, K] gather instead of segment_sum/segment_max (scatter-free;
+    XLA's segment ops are ~100x off the streaming rate on TPU)."""
 
     nbr: tuple  # per bin: [S_b, W_b] int32
     edge: tuple  # per bin: [S_b, W_b] int32 (global CSR edge id)
     row: tuple  # per bin: [S_b] int32
     count: tuple  # per bin: [S_b] int32
+    cmb: object  # [num_rows, K] int32 combine table, or None
     widths: tuple = dataclasses.field(metadata=dict(static=True))
     num_rows: int = dataclasses.field(metadata=dict(static=True))
     num_edges: int = dataclasses.field(metadata=dict(static=True))
@@ -45,12 +52,19 @@ class BinnedAdj:
             yield self.widths[b], self.nbr[b], self.edge[b], self.row[b], self.count[b]
 
 
-def from_binned(b: _binning.BinnedCSR) -> BinnedAdj:
+def from_binned(b: _binning.BinnedCSR, with_cmb: bool = True) -> BinnedAdj:
+    cmb = None
+    if with_cmb:
+        rows_concat = np.concatenate([np.asarray(r) for r in b.row])
+        valid = np.concatenate([np.asarray(c) for c in b.count]) > 0
+        cmb = jnp.asarray(
+            _binning.combine_table(rows_concat, b.num_rows, valid))
     return BinnedAdj(
         nbr=tuple(jnp.asarray(x) for x in b.nbr),
         edge=tuple(jnp.asarray(x) for x in b.edge),
         row=tuple(jnp.asarray(x) for x in b.row),
         count=tuple(jnp.asarray(x) for x in b.count),
+        cmb=cmb,
         widths=b.widths,
         num_rows=b.num_rows,
         num_edges=b.num_edges,

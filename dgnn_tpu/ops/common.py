@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "combine_sum",
+    "combine_lse",
     "lane_mask",
     "edge_keep",
     "float0_like",
@@ -103,33 +105,70 @@ def scan_chunked(fn, args, num_rows: int, chunk: int, accum_init):
 
     ``stacked`` outputs (leading dim == chunk) are concatenated back to the
     original row count; ``accum`` outputs are tree-summed across chunks.
-    Rows are padded with zeros — fn must be zero-safe for count==0 segments
-    (all ops here are: empty segments contribute nothing).
+
+    Chunks are sliced from the ORIGINAL arrays inside the loop
+    (dynamic_slice), never pad+reshape-copied — at Reddit scale the stacked
+    copies of the bin tables cost gigabytes of extra live HBM per op
+    instance.  The remainder rows run as one static tail call.
     """
     if num_rows <= chunk:
         return fn(*args)
 
-    n_chunks = math.ceil(num_rows / chunk)
-    padded = n_chunks * chunk
+    n_full = num_rows // chunk
+    tail = num_rows - n_full * chunk
 
-    def pad(x):
-        if x.shape[0] == padded:
-            return x
-        pad_width = [(0, padded - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad_width)
-
-    xs = tuple(pad(x).reshape((n_chunks, chunk) + x.shape[1:]) for x in args)
-
-    def body(acc, chunk_args):
-        stacked, upd = fn(*chunk_args)
+    def body(acc, i):
+        sliced = tuple(
+            jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=0)
+            for x in args)
+        stacked, upd = fn(*sliced)
         acc = jax.tree.map(jnp.add, acc, upd)
         return acc, stacked
 
-    accum, stacked = jax.lax.scan(body, accum_init, xs)
+    accum, stacked = jax.lax.scan(body, accum_init,
+                                  jnp.arange(n_full, dtype=jnp.int32))
     stacked = jax.tree.map(
-        lambda x: x.reshape((padded,) + x.shape[2:])[:num_rows], stacked
-    )
+        lambda x: x.reshape((n_full * chunk,) + x.shape[2:]), stacked)
+    if tail:
+        t_stacked, t_upd = fn(*(x[n_full * chunk:] for x in args))
+        accum = jax.tree.map(jnp.add, accum, t_upd)
+        stacked = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
+                               stacked, t_stacked)
     return stacked, accum
+
+
+def combine_sum(cmb: jax.Array, vals: jax.Array) -> jax.Array:
+    """Scatter-free segment merge: out[r] = sum over row r's K partials.
+
+    cmb: [N, K] positions into the concatenated per-segment ``vals``
+    (-1 padded; binning.combine_table); an [N, K] gather + masked reduce —
+    never a segment_sum (XLA's segment ops are ~100x off streaming rate).
+    """
+    mask = cmb >= 0
+    g = vals[jnp.maximum(cmb, 0)]  # [N, K, ...]
+    mshape = mask.shape + (1,) * (g.ndim - 2)
+    return jnp.sum(jnp.where(mask.reshape(mshape), g, 0), axis=1)
+
+
+def combine_lse(cmb: jax.Array, m: jax.Array, parts) -> jax.Array:
+    """Log-sum-exp segment merge over combine-table positions.
+
+    m: [S, H] per-segment maxima (NEG_INF for empty).  ``parts``: list of
+    per-segment arrays ([S, H] or [S, H, F]) to be rescaled by
+    exp(m - M_row) and summed.  Returns (M [N, H], merged parts...).
+    """
+    mask = cmb >= 0
+    idx = jnp.maximum(cmb, 0)
+    m_g = jnp.where(mask[..., None], m[idx], NEG_INF)  # [N, K, H]
+    M = jnp.max(m_g, axis=1)  # [N, H]
+    M0 = jnp.where(jnp.isneginf(M), 0.0, M)
+    scale = jnp.where(jnp.isneginf(m_g), 0.0, jnp.exp(m_g - M0[:, None, :]))
+    outs = []
+    for p in parts:
+        g = p[idx]  # [N, K, H(, F)]
+        s = scale if g.ndim == 3 else scale[..., None]
+        outs.append(jnp.sum(g * s, axis=1))
+    return M0, outs
 
 
 def leaky_relu(x: jax.Array, slope: float) -> jax.Array:

@@ -55,6 +55,8 @@ from ..graph.structure import BinnedAdj, Graph
 from .common import (
     NEG_INF,
     chunk_rows_for_budget,
+    combine_lse,
+    combine_sum,
     edge_keep,
     float0_like,
     lane_mask,
@@ -174,9 +176,25 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
     m_all = jnp.concatenate(ms)
     l_all = jnp.concatenate(ls)
     acc_all = jnp.concatenate(accs)
-    row_all = jnp.concatenate(rows)
+    has_pos = with_pos and not any(x is None for x in lps)
 
     # log-sum-exp merge of row segments (flash-attention-style block combine)
+    if adj.cmb is not None:
+        # scatter-free: [N, K] combine-table gather (binning.combine_table)
+        parts = [l_all, acc_all]
+        if has_pos:
+            parts += [jnp.concatenate(lps), jnp.concatenate(accps)]
+        M, merged = combine_lse(adj.cmb, m_all, parts)
+        L = merged[0]
+        Linv = 1.0 / jnp.maximum(L, 1e-20)
+        out = merged[1] * Linv[..., None]
+        if not has_pos:
+            return out, M, L, None, None
+        r = merged[2] * Linv
+        out_pos = merged[3] * Linv[..., None]
+        return out, M, L, out_pos, r
+
+    row_all = jnp.concatenate(rows)
     M = jax.ops.segment_max(m_all, row_all, num_segments=n)  # [N, H]
     M = jnp.where(jnp.isneginf(M), 0.0, M)
     scale = jnp.where(jnp.isneginf(m_all), 0.0, jnp.exp(m_all - M[row_all]))
@@ -184,7 +202,7 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
     Linv = 1.0 / jnp.maximum(L, 1e-20)
     out = _segment_sum(acc_all * scale[..., None], row_all, n)
     out = out * Linv[..., None]
-    if not with_pos or any(x is None for x in lps):
+    if not has_pos:
         return out, M, L, None, None
     out_pos = _segment_sum(jnp.concatenate(accps) * scale[..., None],
                            row_all, n)
@@ -311,11 +329,17 @@ def _gat_fused_bwd(slope, p, training, res, g_out):
         dx_parts.append(dxp)
         dac_parts.append(dacp)
         rows_b.append(row)
-    rows_b = jnp.concatenate(rows_b)
-    d_feat = _segment_sum(jnp.concatenate(dx_parts), rows_b,
-                          n_src).astype(feat.dtype)
-    d_ac = _segment_sum(jnp.concatenate(dac_parts), rows_b,
-                        n_src).astype(ac.dtype)
+    if adj_bwd.cmb is not None:
+        d_feat = combine_sum(adj_bwd.cmb,
+                             jnp.concatenate(dx_parts)).astype(feat.dtype)
+        d_ac = combine_sum(adj_bwd.cmb,
+                           jnp.concatenate(dac_parts)).astype(ac.dtype)
+    else:
+        rows_b = jnp.concatenate(rows_b)
+        d_feat = _segment_sum(jnp.concatenate(dx_parts), rows_b,
+                              n_src).astype(feat.dtype)
+        d_ac = _segment_sum(jnp.concatenate(dac_parts), rows_b,
+                            n_src).astype(ac.dtype)
     return (float0_like(adj_fwd), float0_like(adj_bwd), d_ar, d_ac, d_feat,
             float0_like(seed))
 

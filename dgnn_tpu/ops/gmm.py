@@ -46,8 +46,8 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.structure import BinnedAdj, Graph
-from .common import (chunk_rows_for_budget, float0_like, lane_mask,
-                     scan_chunked, use_pallas)
+from .common import (chunk_rows_for_budget, combine_sum, float0_like,
+                     lane_mask, scan_chunked, use_pallas)
 
 __all__ = ["gmm_aggregate", "gmm_aggregate_binned", "gaussian_weights",
            "bin_edge_data"]
@@ -103,6 +103,8 @@ def _gmm2_forward(adj: BinnedAdj, pbins, feat, pw, pbias, mu, isig, use_tanh):
                                  ())
         accs.append(acc)
         rows.append(row)
+    if adj.cmb is not None:
+        return combine_sum(adj.cmb, jnp.concatenate(accs))
     return _segment_sum(jnp.concatenate(accs), jnp.concatenate(rows), n)
 
 
@@ -154,7 +156,11 @@ def _gmm2_backward(adj_bwd: BinnedAdj, pbins_bwd, feat, pw, pbias, mu, isig,
         d_pbias = d_pbias + upd[3]
         dxs.append(dx_p)
         rows.append(row)
-    d_feat = _segment_sum(jnp.concatenate(dxs), jnp.concatenate(rows), n_src)
+    if adj_bwd.cmb is not None:
+        d_feat = combine_sum(adj_bwd.cmb, jnp.concatenate(dxs))
+    else:
+        d_feat = _segment_sum(jnp.concatenate(dxs), jnp.concatenate(rows),
+                              n_src)
     return d_feat, d_pw, d_pbias, d_mu, d_isig
 
 
@@ -254,6 +260,8 @@ def _spmm_bins(adj: BinnedAdj, w_flat, feat):
         (acc,), _ = scan_chunked(fn, (nbr, edge, count), nbr.shape[0], chunk, ())
         accs.append(acc)
         rows.append(row)
+    if adj.cmb is not None:
+        return combine_sum(adj.cmb, jnp.concatenate(accs))
     return _segment_sum(jnp.concatenate(accs), jnp.concatenate(rows), n)
 
 

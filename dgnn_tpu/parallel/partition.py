@@ -90,8 +90,8 @@ def _stack_binned(per_shard: Sequence[_binning.BinnedCSR], num_rows: int,
         rows.append(jnp.asarray(np.stack(rb)))
         counts.append(jnp.asarray(np.stack(cb)))
     return BinnedAdj(nbr=tuple(nbrs), edge=tuple(edges), row=tuple(rows),
-                     count=tuple(counts), widths=widths, num_rows=num_rows,
-                     num_edges=num_edges)
+                     count=tuple(counts), cmb=None, widths=widths,
+                     num_rows=num_rows, num_edges=num_edges)
 
 
 def _bin_subset(row_ptr, col_ind, edge_ids, sel, num_rows, widths):

@@ -40,8 +40,9 @@ def merge_binned(a: BinnedAdj, b: BinnedAdj) -> BinnedAdj:
     edge partitions combine through the segment log-sum-exp merge)."""
     assert a.num_rows == b.num_rows
     return BinnedAdj(nbr=a.nbr + b.nbr, edge=a.edge + b.edge, row=a.row + b.row,
-                     count=a.count + b.count, widths=a.widths + b.widths,
-                     num_rows=a.num_rows, num_edges=a.num_edges + b.num_edges)
+                     count=a.count + b.count, cmb=None,
+                     widths=a.widths + b.widths, num_rows=a.num_rows,
+                     num_edges=a.num_edges + b.num_edges)
 
 
 def halo_exchange(x_local: jax.Array, send_ids: jax.Array, axis_name: str):
