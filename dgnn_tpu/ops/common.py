@@ -96,7 +96,9 @@ def chunk_rows_for_budget(width: int, elems_per_slot: int, itemsize: int = 4,
     if budget is None:
         budget = GATHER_BUDGET_BYTES
     rows = budget // max(1, width * elems_per_slot * itemsize)
-    rows = max(8, int(rows))
+    # floor of 1: very wide bins (unsplit hub rows, width up to 128K) must
+    # shrink the chunk below 8 segments or a "chunk" alone exceeds the budget
+    rows = max(1, int(rows))
     return int(min(rows, 1 << 30))
 
 

@@ -79,17 +79,14 @@ _ec.defvjp(_ec_fwd, _ec_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _ecd_compute(mask_neg, h_src, h_dst):
-    """out[b,i,f] = h_dst[b,i,f] + max_j (h_src[b,j,f] + mask_neg[b,i,j]);
-    processed one cloud at a time (lax.map) to bound the [P, P, F] peak."""
-
-    def per_cloud(args):
-        mn, hs, hd = args
-        vals = hs[None, :, :] + mn[:, :, None]  # [P(i), P(j), F]
-        kstar = jnp.argmax(vals, axis=1).astype(jnp.int32)  # [P, F]
-        return hd + jnp.max(vals, axis=1), kstar
-
-    return jax.lax.map(per_cloud, (mask_neg, h_src, h_dst))
+@jax.jit
+def _masked_max(mask_neg, h_src):
+    """max_j (h_src[b,j,f] + mask_neg[b,i,j]) — jitted so the [B, P, P, F]
+    broadcast fuses into the reduction even when the op is invoked eagerly
+    (flax init runs ops op-by-op; unfused this intermediate is 16GB at
+    ModelNet scale)."""
+    vals = h_src[:, None, :, :] + mask_neg[:, :, :, None]  # [B, P(i), P(j), F]
+    return jnp.max(vals, axis=2)
 
 
 @jax.custom_vjp
@@ -97,21 +94,35 @@ def edge_conv_max_dense(mask_neg, h_src, h_dst):
     """out[b,i,f] = max over j with mask_neg[b,i,j]==0 of
     (h_dst[b,i,f] + h_src[b,j,f]).
 
+    Fully batched broadcast+reduce — XLA fuses the [B, P, P, F] intermediate
+    away (measured ~2.6x faster than a per-cloud lax.map).  The primal
+    (inference) path computes only the max; argmax is computed under
+    differentiation only.
+
     Args:
       mask_neg: [B, P, P] f32 additive adjacency mask (0 = edge, large
         negative = non-edge), from graph/knn.py:knn_mask_neg.
       h_src: [B, P, F]; h_dst: [B, P, F].
     Returns: [B, P, F].
     """
-    out, _ = _ecd_compute(mask_neg, h_src, h_dst)
-    return out
+    return h_dst + _masked_max(mask_neg, h_src)
 
 
 def _ecd_fwd(mask_neg, h_src, h_dst):
-    out, kstar = _ecd_compute(mask_neg, h_src, h_dst)
+    # batched fused max; argmax per cloud under lax.map (a batched joint
+    # max+argmax makes XLA materialize the [B, P, P, F] intermediate — 16GB
+    # at ModelNet scale — while per-cloud it fuses)
+    m = _masked_max(mask_neg, h_src)  # [B, P, F]
+
+    def per_cloud(args):
+        mn, hs = args
+        v = hs[None, :, :] + mn[:, :, None]  # [P(i), P(j), F]
+        return jnp.argmax(v, axis=1).astype(jnp.int32)
+
+    kstar = jax.lax.map(per_cloud, (mask_neg, h_src))
     # Residuals: argmax slot per (node, channel) only (the reference likewise
     # saves just max_idx, operators/fused_edgeconv.py:20).
-    return out, (kstar, mask_neg.shape)
+    return h_dst + m, (kstar, mask_neg.shape)
 
 
 def _ecd_bwd(res, g):
@@ -120,9 +131,11 @@ def _ecd_bwd(res, g):
 
     def per_cloud(args):
         ks, gc = args  # [P, F] int32, [P, F]
+        # d_src[j,f] = sum_i g[i,f] [kstar[i,f] == j] — dense indicator sum,
+        # not a scatter (XLA scatters are ~0.2M rows/s)
         j = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)  # [P(j),1,1]
         ind = ks[None, :, :] == j  # [P(j), P(i), F]
-        return jnp.sum(jnp.where(ind, gc[None, :, :], 0.0), axis=1)  # [P, F]
+        return jnp.sum(jnp.where(ind, gc[None, :, :], 0.0), axis=1)
 
     d_src = jax.lax.map(per_cloud, (kstar, g))
     # d/d h_dst is the identity (reference returns grad_out directly,
