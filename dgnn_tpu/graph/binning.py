@@ -28,8 +28,9 @@ __all__ = ["BinnedCSR", "bin_csr", "auto_widths", "DEFAULT_WIDTHS"]
 # The widest bin also serves as the split width for mega-rows.
 DEFAULT_WIDTHS = (8, 32, 128, 512)
 
-_WIDTH_CANDIDATES = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
-                     8192, 16384, 32768, 65536, 131072)
+# ~1.4x geometric grid: powers of two and 3*2^k, up to 128K
+_WIDTH_CANDIDATES = tuple(sorted(
+    [2 ** k for k in range(2, 18)] + [3 * 2 ** k for k in range(2, 16)]))
 
 # An extra bin costs ~60us of op overhead per pass (measured on small
 # graphs), i.e. ~4096 gather-slots at the ~75M rows/s rate wall — an extra
@@ -37,13 +38,20 @@ _WIDTH_CANDIDATES = (4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
 _BIN_PENALTY_SLOTS = 4096
 
 
-def auto_widths(deg, max_bins: int = 4, candidates=_WIDTH_CANDIDATES,
-                bin_penalty: int = _BIN_PENALTY_SLOTS) -> tuple:
+def auto_widths(deg, max_bins: int = 8, candidates=_WIDTH_CANDIDATES,
+                bin_penalty: int = _BIN_PENALTY_SLOTS,
+                max_segs_per_row: int = 8) -> tuple:
     """Pick bin widths minimizing total padded slots for this degree
     distribution (gathers are rate-bound per SLOT on TPU, so padding is
-    directly wasted time).  Exact search over the candidate set; mega-rows
-    are split at the chosen largest width and cost ceil(d/wmax)*wmax; each
-    additional bin pays ``bin_penalty`` slots of fixed op overhead."""
+    directly wasted time).  Cost model per bin: each slot is one rate-bound
+    gathered row, each SEGMENT one resident-row fetch (splitting is not
+    free), plus ``bin_penalty`` slots of fixed op overhead per extra bin.
+
+    Constraint: the largest width must satisfy ceil(dmax/wmax) <=
+    ``max_segs_per_row`` — segments-per-row bounds the [N, K] combine-table
+    width (binning.combine_table) and the size of all per-segment partial
+    arrays; an unconstrained optimum at Reddit scale picked wmax=32 for an
+    816k-degree hub, a 25,520-column combine table (~95 GB)."""
     import itertools
 
     deg = np.asarray(deg)
@@ -55,29 +63,72 @@ def auto_widths(deg, max_bins: int = 4, candidates=_WIDTH_CANDIDATES,
     cover = [w for w in cands if w >= dmax]
     if cover:  # drop widths beyond the smallest one covering dmax
         cands = [w for w in cands if w <= cover[0]]
+    wmax_min = -(-dmax // max_segs_per_row)  # smallest admissible top width
+    if not any(w >= wmax_min for w in cands):
+        cands.append(int(2 ** np.ceil(np.log2(wmax_min))))
+    nc = len(cands)
+
+    # per-candidate stats
+    n_le = np.array([np.count_nonzero(deg <= w) for w in cands], np.int64)
+    # top_cost[i][j]: cost of a top (split) bin of width cands[j] covering
+    # all rows with deg > cands[i] (i = -1 -> all rows)
+    sorted_deg = np.sort(deg)
+    def top_cost(lo_i, j):
+        w = cands[j]
+        lo = cands[lo_i] if lo_i >= 0 else 0
+        rows = sorted_deg[np.searchsorted(sorted_deg, lo, side="right"):]
+        if rows.size == 0:
+            return 0
+        nseg = int(np.sum(-(-rows // w)))
+        return nseg * (w + 1)
+
+    # interval DP over increasing inner widths: dp[j][r] = min cost of r
+    # inner bins whose largest is cands[j] (covering all deg <= cands[j])
+    inner = np.empty((nc + 1, nc), np.int64)  # inner[i+1][j]: (cands_i, cands_j]
+    for j in range(nc):
+        for i in range(-1, j):
+            cnt = n_le[j] - (n_le[i] if i >= 0 else 0)
+            inner[i + 1][j] = cnt * (cands[j] + 1)
+
+    INF = 1 << 62
+    max_r = min(max_bins - 1, nc)
+    dp = np.full((nc, max_r + 1), INF, np.int64)
+    par = np.full((nc, max_r + 1), -2, np.int64)
+    for j in range(nc):
+        dp[j][1] = inner[0][j]
+        par[j][1] = -1
+    for r in range(2, max_r + 1):
+        for j in range(nc):
+            for i in range(j):
+                if dp[i][r - 1] < INF:
+                    c = dp[i][r - 1] + inner[i + 1][j]
+                    if c < dp[j][r]:
+                        dp[j][r] = c
+                        par[j][r] = i
+
     best, best_cost = None, None
-    for r in range(1, min(max_bins, len(cands)) + 1):
-        for combo in itertools.combinations(cands, r):
-            lo = 0
-            cost = (r - 1) * bin_penalty
-            for w in combo:
-                # each slot is one rate-bound gathered row; each SEGMENT also
-                # costs one rate-bound resident-row fetch (+ merge work), so
-                # splitting rows is not free: cost = slots + segments.
-                # Wide bins keep rows unsplit — segments-per-row stays tiny
-                # so the [N, K] combine tables (see combine_table) stay small
-                # and segment-partial arrays stay ~N-sized.
-                if w == combo[-1]:
-                    sel = deg > lo
-                    nseg = int(np.sum(-(-deg[sel] // w)))
-                    cost += nseg * (w + 1)
-                else:
-                    sel = (deg > lo) & (deg <= w)
-                    cost += int(np.count_nonzero(sel)) * (w + 1)
-                lo = w
-            if best_cost is None or cost < best_cost:
-                best, best_cost = combo, cost
-    return tuple(best)
+    for j in range(nc):  # top (split) bin
+        if -(-dmax // cands[j]) > max_segs_per_row:
+            continue
+        # top bin alone
+        c = top_cost(-1, j)
+        if best_cost is None or c < best_cost:
+            best, best_cost = [j], c
+        for i in range(j):  # inner bins end at cands[i]
+            for r in range(1, max_r + 1):
+                if dp[i][r] >= INF:
+                    continue
+                c = dp[i][r] + top_cost(i, j) + r * bin_penalty
+                if c < best_cost:
+                    # reconstruct inner chain
+                    chain, jj, rr = [], i, r
+                    while jj >= 0:
+                        chain.append(jj)
+                        jj = int(par[jj][rr])
+                        rr -= 1
+                    best = list(reversed(chain)) + [j]
+                    best_cost = c
+    return tuple(cands[j] for j in best)
 
 
 def combine_table(rows_concat: np.ndarray, num_rows: int,

@@ -37,7 +37,7 @@ def knn_graph(x: jax.Array, k: int) -> jax.Array:
 
 
 def knn_mask_neg(x: jax.Array, k: int, *, neg: float = -1e30,
-                 exact: bool = False, bisect_iters: int = 14) -> jax.Array:
+                 exact: bool = False, bisect_iters: int = 10) -> jax.Array:
     """Dense k-NN adjacency as an additive max-mask (TPU-native form).
 
     Returns [B, P, P] f32 with 0 where j is among i's k nearest neighbors

@@ -79,14 +79,28 @@ _ec.defvjp(_ec_fwd, _ec_bwd)
 # ---------------------------------------------------------------------------
 
 
+# XLA's loop fusion of the [B, P, P, Fc] broadcast+reduce degrades
+# super-linearly past ~64 trailing channels (measured 2.5ms at F=64 but 49ms
+# at F=256 for the same per-element work) — process F in 64-wide chunks.
+_F_CHUNK = 64
+
+
+def _f_chunks(f):
+    return range(0, f, _F_CHUNK)
+
+
 @jax.jit
 def _masked_max(mask_neg, h_src):
     """max_j (h_src[b,j,f] + mask_neg[b,i,j]) — jitted so the [B, P, P, F]
     broadcast fuses into the reduction even when the op is invoked eagerly
     (flax init runs ops op-by-op; unfused this intermediate is 16GB at
     ModelNet scale)."""
-    vals = h_src[:, None, :, :] + mask_neg[:, :, :, None]  # [B, P(i), P(j), F]
-    return jnp.max(vals, axis=2)
+    outs = []
+    for i in _f_chunks(h_src.shape[-1]):
+        s = h_src[..., i:i + _F_CHUNK]
+        outs.append(jnp.max(s[:, None, :, :] + mask_neg[:, :, :, None],
+                            axis=2))
+    return jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
 
 
 @jax.custom_vjp
@@ -109,38 +123,43 @@ def edge_conv_max_dense(mask_neg, h_src, h_dst):
 
 
 def _ecd_fwd(mask_neg, h_src, h_dst):
-    # batched fused max; argmax per cloud under lax.map (a batched joint
-    # max+argmax makes XLA materialize the [B, P, P, F] intermediate — 16GB
-    # at ModelNet scale — while per-cloud it fuses)
     m = _masked_max(mask_neg, h_src)  # [B, P, F]
+    # Residuals: the max values only — backward recomputes the winning
+    # positions by equality instead of saving argmax, which would cost an
+    # extra O(P^2 F) index pass in forward (the reference saves max_idx,
+    # operators/fused_edgeconv.py:20; on TPU the recompute is cheaper).
+    return h_dst + m, (mask_neg, h_src, m)
 
-    def per_cloud(args):
-        mn, hs = args
-        v = hs[None, :, :] + mn[:, :, None]  # [P(i), P(j), F]
-        return jnp.argmax(v, axis=1).astype(jnp.int32)
 
-    kstar = jax.lax.map(per_cloud, (mask_neg, h_src))
-    # Residuals: argmax slot per (node, channel) only (the reference likewise
-    # saves just max_idx, operators/fused_edgeconv.py:20).
-    return h_dst + m, (kstar, mask_neg.shape)
+@jax.jit
+def _ecd_dsrc(mask_neg, h_src, m, g):
+    """Tie-averaged max backward, two fused batched passes (F-chunked):
+      cnt[b,i,f]   = #argmax ties of row i
+      d_src[b,j,f] = sum_i (g[b,i,f]/cnt[b,i,f]) [h_src[j]+mask[i,j] == m[i]]
+    Averaging over exact ties is a valid subgradient (a convex combination
+    of the per-winner subgradients); for continuous features ties are
+    measure-zero and this equals the reference's single-winner argmax.
+    Dense indicator sums, never a scatter (XLA scatters: ~0.2M rows/s)."""
+    outs = []
+    for i in _f_chunks(h_src.shape[-1]):
+        s = h_src[..., i:i + _F_CHUNK]
+        mc = m[..., i:i + _F_CHUNK]
+        gc = g[..., i:i + _F_CHUNK]
+        vals = s[:, None, :, :] + mask_neg[:, :, :, None]  # fused, not stored
+        cnt = jnp.sum((vals == mc[:, :, None, :]).astype(jnp.float32), axis=2)
+        gn = gc / jnp.maximum(cnt, 1.0)  # [B, P(i), Fc]
+        vals2 = s[:, None, :, :] + mask_neg[:, :, :, None]
+        ind = vals2 == mc[:, :, None, :]  # [B, P(i), P(j), Fc]
+        outs.append(jnp.sum(jnp.where(ind, gn[:, :, None, :], 0.0), axis=1))
+    return jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
 
 
 def _ecd_bwd(res, g):
-    kstar, mask_shape = res
-    p = g.shape[1]
-
-    def per_cloud(args):
-        ks, gc = args  # [P, F] int32, [P, F]
-        # d_src[j,f] = sum_i g[i,f] [kstar[i,f] == j] — dense indicator sum,
-        # not a scatter (XLA scatters are ~0.2M rows/s)
-        j = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)  # [P(j),1,1]
-        ind = ks[None, :, :] == j  # [P(j), P(i), F]
-        return jnp.sum(jnp.where(ind, gc[None, :, :], 0.0), axis=1)
-
-    d_src = jax.lax.map(per_cloud, (kstar, g))
+    mask_neg, h_src, m = res
+    d_src = _ecd_dsrc(mask_neg, h_src, m, g)
     # d/d h_dst is the identity (reference returns grad_out directly,
     # operators/fused_edgeconv.py:22); the mask is non-differentiable.
-    return (jnp.zeros(mask_shape, jnp.float32), d_src, g)
+    return (jnp.zeros_like(mask_neg), d_src, g)
 
 
 edge_conv_max_dense.defvjp(_ecd_fwd, _ecd_bwd)

@@ -92,9 +92,9 @@ def test_dense_masked_matches_gather_path(rng):
                                    atol=1e-6)
 
 
-def test_dense_masked_tie_single_winner(rng):
-    """With duplicated source rows (exact ties) gradient flows to exactly one
-    argmax winner, matching max subgradient conventions."""
+def test_dense_masked_tie_averaging(rng):
+    """With duplicated source rows (exact ties) the gradient is split evenly
+    over the tied winners (a valid max subgradient); total mass conserved."""
     from dgnn_tpu.ops.edgeconv import edge_conv_max_dense
 
     b, p, f = 1, 6, 3
@@ -106,7 +106,8 @@ def test_dense_masked_tie_single_winner(rng):
     def loss(hs):
         return jnp.sum(edge_conv_max_dense(mask, hs, h_dst))
 
-    g = jax.grad(loss)(h_src)
-    # total gradient mass = P contributions per channel, each to one winner
-    np.testing.assert_allclose(np.asarray(g).sum(axis=(0, 1)),
-                               np.full(f, p, np.float32), rtol=1e-6)
+    g = np.asarray(jax.grad(loss)(h_src))
+    # total gradient mass = P contributions per channel, split over p ties
+    np.testing.assert_allclose(g.sum(axis=(0, 1)), np.full(f, p, np.float32),
+                               rtol=1e-6)
+    np.testing.assert_allclose(g, np.full((b, p, f), 1.0), rtol=1e-6)

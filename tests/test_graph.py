@@ -140,4 +140,5 @@ def test_auto_widths_mega_rows(rng):
 
     deg = np.concatenate([np.full(100, 3), [5000, 20000]])
     w = auto_widths(deg)
-    assert w[-1] <= 512 and len(w) <= 5
+    # top width must bound segments-per-row (combine-table width)
+    assert -(-20000 // w[-1]) <= 8 and len(w) <= 6
