@@ -112,7 +112,7 @@ def bench_gat(dataset, scale, epochs, infer=False):
     model = GAT(num_layers=1, n_hidden=64, n_classes=ncls, heads=(4, 1),
                 feat_drop=0.5, attn_drop=0.0)
     key = jax.random.PRNGKey(0)
-    params = model.init(key, graph, feat)
+    params = jax.jit(model.init)(key, graph, feat)
     tx = optax.chain(optax.add_decayed_weights(5e-4), optax.adam(1e-3))
     opt_state = tx.init(params)
 
@@ -162,7 +162,7 @@ def bench_gmm(dataset, scale, epochs, n_kernels):
     model = MoNet(n_hidden=64, out_feats=ncls, n_layers=1, dim=2,
                   n_kernels=n_kernels, dropout=0.5)
     key = jax.random.PRNGKey(0)
-    params = model.init(key, graph, feat, pseudo)
+    params = jax.jit(model.init)(key, graph, feat, pseudo)
     tx = optax.adam(1e-2)
     opt_state = tx.init(params)
 

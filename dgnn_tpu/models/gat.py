@@ -41,6 +41,7 @@ class GATConv(nn.Module):
     activation: Optional[Callable] = None
     use_bias: bool = True
     impl: str = "fused"  # "fused" (binned/Pallas) | "naive" (DGL-style)
+    gather_dtype: Optional[str] = None  # e.g. "bfloat16": halve gathered rows
 
     @nn.compact
     def __call__(self, graph: Graph, feat, *, training: bool = False):
@@ -59,9 +60,12 @@ class GATConv(nn.Module):
         if training and self.attn_drop > 0.0:
             key = self.make_rng("dropout")
         agg = gat_naive if self.impl == "naive" else gat_aggregate
+        kw = {}
+        if self.gather_dtype is not None and self.impl == "fused":
+            kw["gather_dtype"] = jnp.dtype(self.gather_dtype)
         rst = agg(graph, attn_row, attn_col, x,
                   negative_slope=self.negative_slope,
-                  attn_drop=self.attn_drop, key=key, training=training)
+                  attn_drop=self.attn_drop, key=key, training=training, **kw)
         if self.residual:
             if feat.shape[-1] != h * f:
                 res = nn.Dense(h * f, use_bias=False, kernel_init=init,
@@ -91,6 +95,7 @@ class GAT(nn.Module):
     residual: bool = False
     activation: Optional[Callable] = None
     impl: str = "fused"
+    gather_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, graph: Graph, feat, *, training: bool = False):
@@ -106,6 +111,7 @@ class GAT(nn.Module):
                 activation=self.activation,
                 use_bias=layer > 0,  # reference: input projection bias=False
                 impl=self.impl,
+                gather_dtype=self.gather_dtype,
                 name=f"gat_{layer}",
             )(graph, h, training=training)
             h = h.reshape(h.shape[0], -1)
@@ -116,6 +122,7 @@ class GAT(nn.Module):
             attn_drop=self.attn_drop,
             negative_slope=self.negative_slope,
             impl=self.impl,
+            gather_dtype=self.gather_dtype,
             name="gat_out",
         )(graph, h, training=training)
         return jnp.mean(logits, axis=1)

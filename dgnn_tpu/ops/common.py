@@ -35,7 +35,12 @@ __all__ = [
 NEG_INF = float("-inf")
 
 # Default per-chunk gather budget (bytes) for neighbor-feature tiles.
-GATHER_BUDGET_BYTES = 256 * 1024 * 1024
+# Larger budgets mean fewer scan iterations over wide bins (per-iteration
+# overhead) at the cost of peak HBM; override via DGNN_TPU_GATHER_BUDGET_MB.
+import os as _os
+
+GATHER_BUDGET_BYTES = int(_os.environ.get("DGNN_TPU_GATHER_BUDGET_MB",
+                                          "256")) * 1024 * 1024
 
 
 def use_pallas(heads: int, feat: int, width: int, num_segments: int) -> bool:

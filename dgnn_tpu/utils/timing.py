@@ -48,21 +48,26 @@ def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
     Returns (seconds_per_epoch, final_carry).
     """
 
-    def body(_, state):
-        c, k, cs = state
-        k, sub = jax.random.split(k)
-        c = step(c, sub) if cs is None else step(c, sub, cs)
-        return c, k, cs
+    def runner_fn(state, n, cs):
+        # consts ride as a separate, non-returned argument: returning them
+        # with the state would make XLA allocate OUTPUT copies of the
+        # loop-invariant arrays (3+ GB of graph tables at Reddit scale)
+        def body(_, st):
+            c, k = st
+            k, sub = jax.random.split(k)
+            c = step(c, sub) if cs is None else step(c, sub, cs)
+            return c, k
 
-    runner = jax.jit(
-        lambda state, n: jax.lax.fori_loop(0, n, body, state))
+        return jax.lax.fori_loop(0, n, body, state)
 
-    state = runner((carry, key, consts), warmup)
+    runner = jax.jit(runner_fn)
+
+    state = runner((carry, key), warmup, consts)
     fetch_scalar(state[0])
 
     def run(n):
         t0 = time.perf_counter()
-        out = runner(state, n)
+        out = runner(state, n, consts)
         fetch_scalar(out[0])
         return time.perf_counter() - t0, out
 

@@ -42,7 +42,7 @@ def main(args):
                 negative_slope=args.negative_slope, impl=args.impl)
 
     key = jax.random.PRNGKey(args.seed)
-    params = model.init(key, graph, features)
+    params = jax.jit(model.init)(key, graph, features)
     # torch.optim.Adam(weight_decay=...) couples L2 into the gradient
     tx = optax.chain(optax.add_decayed_weights(args.weight_decay),
                      optax.adam(args.lr))

@@ -47,7 +47,7 @@ def main(args):
                   n_layers=args.n_layers, dim=args.pseudo_dim,
                   n_kernels=args.n_kernels, dropout=args.dropout)
     key = jax.random.PRNGKey(args.seed)
-    params = model.init(key, graph, features, pseudo)
+    params = jax.jit(model.init)(key, graph, features, pseudo)
     tx = optax.chain(optax.add_decayed_weights(args.weight_decay),
                      optax.adam(args.lr))
     opt_state = tx.init(params)
