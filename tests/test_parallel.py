@@ -155,3 +155,25 @@ def test_sharded_monet_matches_single(rng):
     gr = jax.grad(loss_ref)(params)
     for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gr)):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_dgcnn_data_parallel_matches_single(rng):
+    """DGCNN is batch-parallel: sharding the cloud batch over the mesh must
+    reproduce single-device results (per-cloud compute is independent;
+    BatchNorm in eval mode)."""
+    from jax.sharding import NamedSharding
+    from dgnn_tpu.models import DGCNN
+
+    mesh = _mesh(4)
+    b, p = 8, 16
+    x = jnp.asarray(rng.normal(size=(b, p, 3)), jnp.float32)
+    model = DGCNN(k=4, feature_dims=(8, 8), emb_dims=(16, 16),
+                  output_classes=5, dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    ref = model.apply(variables, x)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("graph")))
+    out = jax.jit(lambda v, x: model.apply(v, x))(variables, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
