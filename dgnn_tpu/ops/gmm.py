@@ -82,6 +82,27 @@ def _project(praw, pw, pbias, use_tanh):
 # ---------------------------------------------------------------------------
 
 
+def _proj_unrolled(praw_c, pw, pbias, use_tanh):
+    """Projected pseudo as a list of D arrays shaped [S, W] — K and D are
+    tiny (2-3) so arrays shaped [..., K, D] put them in the lane-minor
+    position, which XLA pads to 128 lanes (a 64-256x VPU/layout waste at
+    scale).  Unrolling keeps W as the minor dim everywhere."""
+    din = praw_c.shape[-1]
+    D = pw.shape[1]
+    praw_d = [praw_c[..., r].astype(jnp.float32) for r in range(din)]
+    out = []
+    for d in range(D):
+        p = pbias[d] + sum(praw_d[r] * pw[r, d] for r in range(din))
+        out.append(jnp.tanh(p) if use_tanh else p)
+    return out
+
+
+def _gauss_k(p_d, mu, isig, k):
+    """[S, W] Gaussian weight of kernel k from unrolled pseudo dims."""
+    q = sum(((p_d[d] - mu[k, d]) * isig[k, d]) ** 2 for d in range(len(p_d)))
+    return jnp.exp(-0.5 * q)
+
+
 def _gmm2_forward(adj: BinnedAdj, pbins, feat, pw, pbias, mu, isig, use_tanh):
     n = adj.num_rows
     K, F = feat.shape[-2], feat.shape[-1]
@@ -91,13 +112,15 @@ def _gmm2_forward(adj: BinnedAdj, pbins, feat, pw, pbias, mu, isig, use_tanh):
 
         def fn(nbr_c, count_c, praw_c):
             mask = lane_mask(count_c, width)
-            p = _project(praw_c, pw, pbias, use_tanh)  # [S, W, D] streamed
-            w = gaussian_weights(p, mu, isig)  # [S, W, K]
-            w = jnp.where(mask[..., None], w, 0.0)
+            p_d = _proj_unrolled(praw_c, pw, pbias, use_tanh)
             x = feat[nbr_c]  # [S, W, K, F] — the ONE edge-sized gather
-            acc = jnp.einsum("swk,swkf->skf", w, x,
-                             preferred_element_type=jnp.float32)
-            return (acc,), ()
+            acc_k = []
+            for k in range(K):
+                w = jnp.where(mask, _gauss_k(p_d, mu, isig, k), 0.0)  # [S, W]
+                acc_k.append(jnp.einsum(
+                    "sw,swf->sf", w, x[:, :, k, :],
+                    preferred_element_type=jnp.float32))
+            return (jnp.stack(acc_k, axis=1),), ()
 
         (acc,), _ = scan_chunked(fn, (nbr, count, praw), nbr.shape[0], chunk,
                                  ())
@@ -124,29 +147,42 @@ def _gmm2_backward(adj_bwd: BinnedAdj, pbins_bwd, feat, pw, pbias, mu, isig,
         chunk = chunk_rows_for_budget(width, 2 * (K * F + K * D))
 
         def fn(nbr_c, row_c, count_c, praw_c):
+            # unrolled over (K, D) — see _proj_unrolled: keeps W lane-minor
             mask = lane_mask(count_c, width)
-            praw_c = praw_c.astype(jnp.float32)
-            p = _project(praw_c, pw, pbias, use_tanh)  # [S, W, D]
-            t = (p[..., None, :] - mu) * isig  # [S, W, K, D]
-            w = jnp.exp(-0.5 * jnp.sum(t * t, axis=-1))  # [S, W, K]
-            w = jnp.where(mask[..., None], w, 0.0)
+            K_, D_ = mu.shape
+            din = praw_c.shape[-1]
+            p_d = _proj_unrolled(praw_c, pw, pbias, use_tanh)
             g = g_out[nbr_c]  # [S, W, K, F] — the ONE edge-sized gather
-            dx_p = jnp.einsum("swk,swkf->skf", w, g,
-                              preferred_element_type=jnp.float32)
             x_res = feat[row_c].astype(jnp.float32)  # [S, K, F] resident
-            gw = jnp.einsum("skf,swkf->swk", x_res, g,
-                            preferred_element_type=jnp.float32)
-            c = jnp.where(mask[..., None], gw * w, 0.0)  # [S, W, K]
-            # d w/d mu = w * t * isig ; d w/d isig = -w * t * (p - mu)
-            dmu = jnp.einsum("swk,swkd->kd", c, t) * isig
-            pmmu = p[..., None, :] - mu
-            disg = -jnp.einsum("swk,swkd->kd", c, t * pmmu)
-            dp = -jnp.einsum("swk,swkd->swd", c, t * isig)  # [S, W, D]
-            if use_tanh:
-                dp = dp * (1.0 - p * p)
-            dpw = jnp.einsum("swr,swd->rd", praw_c, dp)
-            dpb = jnp.sum(dp, axis=(0, 1))
-            return (dx_p,), (dmu, disg, dpw, dpb)
+            dx_k = []
+            dmu = jnp.zeros((K_, D_), jnp.float32)
+            disg = jnp.zeros((K_, D_), jnp.float32)
+            dp_d = [jnp.zeros_like(p_d[0]) for _ in range(D_)]
+            for k in range(K_):
+                w = jnp.where(mask, _gauss_k(p_d, mu, isig, k), 0.0)  # [S, W]
+                g_k = g[:, :, k, :]  # [S, W, F]
+                dx_k.append(jnp.einsum("sw,swf->sf", w, g_k,
+                                       preferred_element_type=jnp.float32))
+                gw = jnp.einsum("sf,swf->sw", x_res[:, k, :], g_k,
+                                preferred_element_type=jnp.float32)
+                c = gw * w  # [S, W] (w==0 masks padded slots)
+                for d in range(D_):
+                    t_d = (p_d[d] - mu[k, d]) * isig[k, d]  # [S, W]
+                    # d w/d mu = w t isig ; d w/d isig = -w t (p - mu)
+                    dmu = dmu.at[k, d].add(jnp.sum(c * t_d) * isig[k, d])
+                    disg = disg.at[k, d].add(
+                        -jnp.sum(c * t_d * (p_d[d] - mu[k, d])))
+                    dp_d[d] = dp_d[d] - c * t_d * isig[k, d]
+            dpw = jnp.zeros((din, D_), jnp.float32)
+            dpb = jnp.zeros((D_,), jnp.float32)
+            for d in range(D_):
+                dpre = dp_d[d] * (1.0 - p_d[d] * p_d[d]) if use_tanh \
+                    else dp_d[d]
+                dpb = dpb.at[d].add(jnp.sum(dpre))
+                for r in range(din):
+                    dpw = dpw.at[r, d].add(
+                        jnp.sum(praw_c[..., r].astype(jnp.float32) * dpre))
+            return (jnp.stack(dx_k, axis=1),), (dmu, disg, dpw, dpb)
 
         (dx_p,), upd = scan_chunked(fn, (nbr, row, count, praw), nbr.shape[0],
                                     chunk, zeros)
