@@ -36,6 +36,26 @@ import numpy as np
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache under .bench_cache — subprocess
+    re-compiles of identical configs become disk hits, which is the
+    difference between the suite fitting the driver budget or timing out
+    (round-1 failure mode: rc=124 with compile walls of 300-900s/config)."""
+    import jax
+
+    d = os.path.join(CACHE_DIR, "xla_cache")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+_enable_compile_cache()
+
+# Per-config measurement wall cap (seconds) for time_epoch_loop doubling.
+MEASURE_WALL = float(os.environ.get("BENCH_MEASURE_WALL", "90"))
+
 # reference numbers: BASELINE.md (test/gat_result.csv, gmm_result.csv,
 # edgeconv_result.csv)
 REF = {
@@ -123,7 +143,8 @@ def bench_gat(dataset, scale, epochs, infer=False):
             return model.apply(params, graph, feat + c * 1e-30)[0, 0]
 
         dt, _ = time_epoch_loop(infer_step, jnp.float32(0), key, epochs,
-                                warmup=2, consts=consts)
+                                warmup=2, consts=consts,
+                                max_wall=MEASURE_WALL)
         return dt
 
     def train_step(carry, sub, cs):
@@ -142,7 +163,7 @@ def bench_gat(dataset, scale, epochs, infer=False):
 
     carry = (params, opt_state, jnp.float32(0))
     dt, _ = time_epoch_loop(train_step, carry, key, epochs, warmup=2,
-                            consts=consts)
+                            consts=consts, max_wall=MEASURE_WALL)
     return dt
 
 
@@ -184,7 +205,7 @@ def bench_gmm(dataset, scale, epochs, n_kernels):
 
     carry = (params, opt_state, jnp.float32(0))
     dt, _ = time_epoch_loop(train_step, carry, key, epochs, warmup=2,
-                            consts=consts)
+                            consts=consts, max_wall=MEASURE_WALL)
     return dt
 
 
@@ -226,7 +247,8 @@ def bench_edgeconv(infer=False):
             return total
 
         dt, _ = time_epoch_loop(infer_epoch, jnp.float32(0), key, 1, warmup=1,
-                                min_signal=2.0, consts=(xd, yd))
+                                min_signal=2.0, consts=(xd, yd),
+                                max_wall=MEASURE_WALL)
         return dt
 
     sched = optax.cosine_decay_schedule(0.1, 50 * steps, alpha=0.01)
@@ -275,7 +297,8 @@ def bench_edgeconv(infer=False):
 
     carry = (params, batch_stats, opt_state)
     dt, _ = time_epoch_loop(epoch_step, carry, key, 1, warmup=1,
-                            min_signal=2.0, consts=(xd, yd))
+                            min_signal=2.0, consts=(xd, yd),
+                            max_wall=MEASURE_WALL)
     return dt
 
 
@@ -306,9 +329,12 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
+        peak_mb = None
         if single or (only and len(only) == 1):
             try:
                 dt = fn()
+                from dgnn_tpu.utils.timing import device_peak_memory_mb
+                peak_mb = round(device_peak_memory_mb(), 1)
             except Exception as ex:
                 log(f"# {name}: FAILED {type(ex).__name__}: {ex}")
                 details[name] = {"error": str(ex)[:500]}
@@ -318,16 +344,25 @@ def main():
             # one subprocess per config: an OOM on one cannot poison the rest
             import subprocess
             env = dict(os.environ, BENCH_CONFIGS=name, BENCH_CHILD="1")
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, capture_output=True, text=True,
-                               timeout=3600)
+            try:
+                r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                   env=env, capture_output=True, text=True,
+                                   timeout=int(os.environ.get(
+                                       "BENCH_CONFIG_TIMEOUT", "1800")))
+            except subprocess.TimeoutExpired:
+                log(f"# {name}: FAILED (subprocess timeout)")
+                details[name] = {"error": "config subprocess timeout"}
+                speedups.append(0.01)
+                continue
             dt = None
             for line in r.stdout.splitlines():
                 try:
                     rec = json.loads(line)
-                    dt = rec.get("_seconds")
                 except Exception:
                     continue
+                if isinstance(rec, dict) and "_seconds" in rec:
+                    dt = rec["_seconds"]
+                    peak_mb = rec.get("_peak_mb")
             if dt is None:
                 tail = (r.stderr or "")[-400:]
                 log(f"# {name}: FAILED (subprocess rc={r.returncode}) {tail}")
@@ -339,16 +374,17 @@ def main():
             else ref * scale
         sp = ref_eff / dt
         details[name] = {"seconds": dt, "reference": ref_eff, "speedup": sp,
-                         "bench_wall_s": time.time() - t0}
+                         "peak_device_mb": peak_mb,
+                         "bench_wall_s": round(time.time() - t0, 1)}
         speedups.append(sp)
         log(f"# {name}: {dt:.6f}s ref={ref_eff:.6f}s speedup={sp:.2f}x "
-            f"(wall {time.time() - t0:.0f}s)")
+            f"peak={peak_mb}MB (wall {time.time() - t0:.0f}s)")
 
     if single:
-        # child mode: emit the raw seconds for the parent and exit
-        print(json.dumps({"_seconds": details[next(iter(details))].get(
-            "seconds") if details and "seconds" in details[next(iter(details))]
-            else None}))
+        # child mode: emit the raw numbers for the parent and exit
+        d = details[next(iter(details))] if details else {}
+        print(json.dumps({"_seconds": d.get("seconds"),
+                          "_peak_mb": d.get("peak_device_mb")}))
         return
 
     g = math.exp(sum(math.log(s) for s in speedups) / len(speedups))

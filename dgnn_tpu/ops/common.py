@@ -8,8 +8,9 @@
 - a counter-based stateless PRNG for edge dropout: the reference materializes
   a curand uniform mask over [nnz, heads] (fused_gatconv_kernel.cu:333-341)
   and re-reads it in backward through `permute`; we instead *re-derive* the
-  mask from (seed, global edge id, head) with an integer hash, so forward
-  (CSR layout) and backward (CSC layout) agree bit-for-bit with zero storage.
+  mask from (seed, dst id, src id, head) with an integer hash (pair_keep),
+  so forward (CSR bins), backward (CSC bins) and the dense hub-block path
+  agree bit-for-bit with zero per-edge storage.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ __all__ = [
     "combine_lse",
     "lane_mask",
     "edge_keep",
+    "pair_keep",
     "float0_like",
     "scan_chunked",
     "chunk_rows_for_budget",
@@ -41,22 +43,6 @@ import os as _os
 
 GATHER_BUDGET_BYTES = int(_os.environ.get("DGNN_TPU_GATHER_BUDGET_MB",
                                           "256")) * 1024 * 1024
-
-
-def use_pallas(heads: int, feat: int, width: int, num_segments: int) -> bool:
-    """Dispatch to the fused Pallas kernels when the tile shape maps cleanly
-    onto TPU (feature row a multiple of 128 lanes, enough slots to amortize
-    the DMA wave); overridable via DGNN_TPU_PALLAS=0/1 (1 forces interpret
-    mode off-TPU, for tests)."""
-    import os
-
-    flag = os.environ.get("DGNN_TPU_PALLAS", "0")
-    if flag != "1":
-        # opt-in: the DMA-gather kernels require the [N, SUB, 128] layout
-        # below; the XLA gather path is the default everywhere else
-        return False
-    return (feat % 128 == 0 and (heads * feat // 128) % 8 == 0
-            and width >= 8 and num_segments % 8 == 0)
 
 
 def lane_mask(count: jax.Array, width: int) -> jax.Array:
@@ -86,6 +72,32 @@ def edge_keep(seed: jax.Array, edge: jax.Array, num_heads: int, p: float) -> jax
     h = jax.lax.broadcasted_iota(jnp.uint32, e.shape[:-1] + (num_heads,), e.ndim - 1)
     z = e * np.uint32(num_heads) + h
     z = _mix32(z ^ (seed.astype(jnp.uint32) * np.uint32(0x9E3779B9)))
+    u = (z >> 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+    return jnp.where(u > p, np.float32(1.0 / (1.0 - p)), 0.0)
+
+
+def pair_keep(seed: jax.Array, dst: jax.Array, src: jax.Array,
+              num_heads: int, p: float) -> jax.Array:
+    """Deterministic per-(dst, src, head) inverted-dropout keep mask.
+
+    ``dst``/``src`` are broadcastable integer node-id arrays; the result has
+    shape broadcast(dst, src) + (num_heads,) with values in {0, 1/(1-p)}.
+
+    Keyed on the edge's ENDPOINTS rather than its edge id, so every layout
+    (CSR bins, transposed CSC bins, dense hub blocks — which never
+    materialize per-pair edge ids) re-derives bit-identical masks.  The
+    reference materializes a curand [nnz, h] mask and re-indexes it through
+    `permute` instead (fused_gatconv_kernel.cu:333-341, :738).  The only
+    semantic difference: parallel duplicate edges share one mask draw
+    (benchmark graphs are simple graphs, so none exist after dedup).
+    """
+    d = dst.astype(jnp.uint32)
+    s = src.astype(jnp.uint32)
+    base = _mix32(d * np.uint32(0x9E3779B9)
+                  ^ _mix32(s ^ seed.astype(jnp.uint32) * np.uint32(0x85EBCA6B)))
+    z = base[..., None] * np.uint32(num_heads) + jax.lax.broadcasted_iota(
+        jnp.uint32, base.shape + (num_heads,), base.ndim)
+    z = _mix32(z)
     u = (z >> 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
     return jnp.where(u > p, np.float32(1.0 / (1.0 - p)), 0.0)
 

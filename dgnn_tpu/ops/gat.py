@@ -39,9 +39,10 @@ design:
 - Backward is a `jax.custom_vjp` that saves only the per-row softmax stats
   (edge_max, edge_sum) [N, H] and *recomputes* per-edge attention, exactly
   the reference's memory-saving trade (SURVEY.md §2.2 invariant 1).
-- Attention dropout is re-derived from (seed, edge id, head) with a
-  stateless hash (ops/common.py), identical in every layout via global CSR
-  edge ids — the reference materializes a curand [nnz, h] mask instead.
+- Attention dropout is re-derived from (seed, dst id, src id, head) with a
+  stateless hash (ops/common.py pair_keep), identical in every layout with
+  ZERO per-edge state — the reference materializes a curand [nnz, h] mask
+  and re-indexes it through `permute` instead.
 """
 
 from __future__ import annotations
@@ -57,14 +58,13 @@ from .common import (
     chunk_rows_for_budget,
     combine_lse,
     combine_sum,
-    edge_keep,
     float0_like,
     lane_mask,
     leaky_relu,
     leaky_relu_grad,
+    pair_keep,
     scan_chunked,
 )
-from .common import use_pallas as _use_pallas
 
 __all__ = ["gat_aggregate"]
 
@@ -85,9 +85,14 @@ def _concat_rows(*parts):
     Gathers are rate-bound per ROW on TPU, so folding every scalar operand a
     pass needs into the same row makes the extra operands free, where a
     second [E]-sized gather would double the pass cost.
+
+    The concat dtype is the FIRST part's dtype (the feature block): when the
+    caller opts into ``gather_dtype=bfloat16`` the scalar columns are
+    narrowed with it rather than silently promoting the whole row back to
+    f32 (which would negate the knob while still paying bf16 rounding).
     """
     parts = [p.reshape(p.shape[0], -1) for p in parts]
-    dt = jnp.result_type(*[p.dtype for p in parts])
+    dt = parts[0].dtype
     return jnp.concatenate([p.astype(dt) for p in parts], axis=1)
 
 
@@ -96,26 +101,7 @@ def _concat_rows(*parts):
 # ---------------------------------------------------------------------------
 
 
-def _forward_bin_pallas(width, nbr, edge, row, count, ar, ac, feat, slope, p,
-                        seed, training):
-    """Fused-kernel path (wide rows, H*F >= 1024): scores in XLA, neighbor-row
-    DMA gather + online softmax + weighted accumulation in VMEM."""
-    from .pallas.gat_forward import gat_forward_bin_pallas
-
-    H = ar.shape[-1]
-    F = feat.shape[-1]
-    s = leaky_relu(ar[row][:, None, :] + ac[nbr], slope)  # [S, W, H]
-    wmult = (edge_keep(seed, edge, H, p)
-             if (training and p > 0) else None)
-    feat3d = feat.astype(jnp.float32).reshape(feat.shape[0], H * F // 128, 128)
-    interpret = jax.default_backend() != "tpu"
-    m, l, lpos, acc, accpos = gat_forward_bin_pallas(nbr, count, s, wmult,
-                                                     feat3d,
-                                                     interpret=interpret)
-    return m, l, lpos, acc.reshape(-1, H, F), accpos.reshape(-1, H, F)
-
-
-def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, xcat, slope, p,
+def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
                  seed, training, with_pos=True):
     """Per-bin streaming pass: per-segment (max, sumexp, weighted acc) plus —
     when ``with_pos`` (training) — the sign-split partials (sum-exp and
@@ -123,12 +109,9 @@ def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, xcat, slope, p,
     backward's per-destination half node-local (see module docstring)."""
     H = ar.shape[-1]
     F = feat.shape[-1]
-    if _use_pallas(H, F, width, nbr.shape[0]):
-        return _forward_bin_pallas(width, nbr, edge, row, count, ar, ac, feat,
-                                   slope, p, seed, training)
     chunk = chunk_rows_for_budget(width, H * F + H)
 
-    def fn(nbr_c, edge_c, row_c, count_c):
+    def fn(nbr_c, row_c, count_c):
         mask = lane_mask(count_c, width)  # [S, W]
         g = xcat[nbr_c]  # [S, W, HF+H] — the ONE edge-sized gather
         x = g[..., :H * F].reshape(g.shape[0], width, H, F)
@@ -138,7 +121,8 @@ def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, xcat, slope, p,
         m = jnp.max(s, axis=1)  # [S, H]; -inf for empty segments
         w = jnp.where(mask[..., None], jnp.exp(s - m[:, None, :]), 0.0)
         l = jnp.sum(w, axis=1)  # [S, H]
-        w_agg = w * edge_keep(seed, edge_c, H, p) if (training and p > 0) else w
+        w_agg = (w * pair_keep(seed, row_c[:, None], nbr_c, H, p)
+                 if (training and p > 0) else w)
         acc = jnp.einsum("swh,swhf->shf", w_agg, x,
                          preferred_element_type=jnp.float32)
         if not with_pos:
@@ -149,7 +133,7 @@ def _forward_bin(width, nbr, edge, row, count, ar, ac, feat, xcat, slope, p,
                             preferred_element_type=jnp.float32)
         return (m, l, lpos, acc, accpos), ()
 
-    outs, _ = scan_chunked(fn, (nbr, edge, row, count), nbr.shape[0], chunk,
+    outs, _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0], chunk,
                            ())
     if not with_pos:
         m, l, acc = outs
@@ -163,7 +147,7 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
     xcat = _concat_rows(feat, ac)
     ms, ls, lps, accs, accps, rows = [], [], [], [], [], []
     for width, nbr, edge, row, count in adj.bins():
-        m, l, lpos, acc, accpos = _forward_bin(width, nbr, edge, row, count,
+        m, l, lpos, acc, accpos = _forward_bin(width, nbr, row, count,
                                                ar, ac, feat, xcat, slope, p,
                                                seed, training,
                                                with_pos=with_pos)
@@ -216,31 +200,7 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_csc_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L, ws, feat,
-                        g_out, slope, p, seed, training):
-    """Wide-row path: dX via the weighted-gather DMA kernel (reference
-    analogue: mhspmm_backward_kernel, fused_gatconv_kernel.cu:712-763),
-    g_e via gather_dot."""
-    from .pallas.gather_ops import gather_dot, weighted_gather_accumulate
-
-    H = ar.shape[-1]
-    F = g_out.shape[-1]
-    interpret = jax.default_backend() != "tpu"
-    sub = H * F // 128
-    mask = lane_mask(count, width)
-    s_raw = ar[nbr] + ac[row][:, None, :]
-    a = _recompute_attn(mask, leaky_relu(s_raw, slope), M[nbr], L[nbr])
-    ah = a * edge_keep(seed, edge, H, p) if (training and p > 0) else a
-    g3d = g_out.astype(jnp.float32).reshape(-1, sub, 128)
-    dx = weighted_gather_accumulate(nbr, ah, g3d, interpret=interpret)
-    x3d = feat[row].astype(jnp.float32).reshape(-1, sub, 128)
-    ge = gather_dot(nbr, x3d, g3d, H, interpret=interpret)
-    ge = jnp.where(a > 0, ge, 0.0)  # mask gather_dot garbage on padded slots
-    u = (ah * ge - a * ws[nbr]) * leaky_relu_grad(s_raw, slope)
-    return dx.reshape(-1, H, F), jnp.sum(u, axis=1)
-
-
-def _bwd_csc_bin(width, nbr, edge, row, count, ar, ac, M, L, ws, feat, zcat,
+def _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L, ws, feat, zcat,
                  g_out, slope, p, seed, training):
     """Transposed SpMM + d attn_col, one gather over the CSC bins.  Here
     row = source node, nbr = destination rows; ws rides in the gathered row
@@ -252,13 +212,10 @@ def _bwd_csc_bin(width, nbr, edge, row, count, ar, ac, M, L, ws, feat, zcat,
     """
     H = ar.shape[-1]
     F = g_out.shape[-1]
-    if _use_pallas(H, F, width, nbr.shape[0]):
-        return _bwd_csc_bin_pallas(width, nbr, edge, row, count, ar, ac, M, L,
-                                   ws, feat, g_out, slope, p, seed, training)
     chunk = chunk_rows_for_budget(width, 2 * (H * F + 4 * H))
     HF = H * F
 
-    def fn(nbr_c, edge_c, row_c, count_c):
+    def fn(nbr_c, row_c, count_c):
         mask = lane_mask(count_c, width)
         z = zcat[nbr_c]  # [S, W, HF+4H] — the ONE edge-sized gather
         gi = z[..., :HF].reshape(z.shape[0], width, H, F)
@@ -269,7 +226,8 @@ def _bwd_csc_bin(width, nbr, edge, row, count, ar, ac, M, L, ws, feat, zcat,
         ws_i = sc[..., 3 * H:]
         s_raw = ar_i + ac[row_c][:, None, :]  # [S, W, H]
         a = _recompute_attn(mask, leaky_relu(s_raw, slope), M_i, L_i)
-        ah = a * edge_keep(seed, edge_c, H, p) if (training and p > 0) else a
+        ah = (a * pair_keep(seed, nbr_c, row_c[:, None], H, p)
+              if (training and p > 0) else a)
         dx_p = jnp.einsum("swh,swhf->shf", ah, gi,
                           preferred_element_type=jnp.float32)
         ge = jnp.einsum("shf,swhf->swh", feat[row_c].astype(jnp.float32), gi,
@@ -277,7 +235,7 @@ def _bwd_csc_bin(width, nbr, edge, row, count, ar, ac, M, L, ws, feat, zcat,
         u = (ah * ge - a * ws_i) * leaky_relu_grad(s_raw, slope)
         return (dx_p, jnp.sum(u, axis=1)), ()
 
-    (dx_p, dac_p), _ = scan_chunked(fn, (nbr, edge, row, count), nbr.shape[0],
+    (dx_p, dac_p), _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0],
                                     chunk, ())
     return dx_p, dac_p
 
@@ -323,7 +281,7 @@ def _gat_fused_bwd(slope, p, training, res, g_out):
     zcat = _concat_rows(g_out, ar, M, L, ws)
     dx_parts, dac_parts, rows_b = [], [], []
     for width, nbr, edge, row, count in adj_bwd.bins():
-        dxp, dacp = _bwd_csc_bin(width, nbr, edge, row, count, ar, ac, M, L,
+        dxp, dacp = _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L,
                                  ws, feat, zcat, g_out, slope, p, seed,
                                  training)
         dx_parts.append(dxp)

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 
 from ..graph.structure import BinnedAdj, Graph
 from .common import (chunk_rows_for_budget, combine_sum, float0_like,
-                     lane_mask, scan_chunked, use_pallas)
+                     lane_mask, scan_chunked)
 
 __all__ = ["gmm_aggregate", "gmm_aggregate_binned", "gaussian_weights",
            "bin_edge_data"]
@@ -272,17 +272,6 @@ def _spmm_bins(adj: BinnedAdj, w_flat, feat):
     F = feat.shape[-1]
     accs, rows = [], []
     for width, nbr, edge, row, count in adj.bins():
-        if use_pallas(K, F, width, nbr.shape[0]):
-            from .pallas.gather_ops import weighted_gather_accumulate
-
-            mask = lane_mask(count, width)
-            w = jnp.where(mask[..., None], w_flat[edge], 0.0)
-            acc = weighted_gather_accumulate(
-                nbr, w, feat.astype(jnp.float32).reshape(-1, K * F // 128, 128),
-                interpret=jax.default_backend() != "tpu")
-            accs.append(acc.reshape(-1, K, F))
-            rows.append(row)
-            continue
         chunk = chunk_rows_for_budget(width, K * F)
 
         def fn(nbr_c, edge_c, count_c):
@@ -308,19 +297,6 @@ def _sddmm_bins(adj: BinnedAdj, grad_out, feat, num_edges):
     F = grad_out.shape[-1]
     gw = jnp.zeros((num_edges, K), jnp.float32)
     for width, nbr, edge, row, count in adj.bins():
-        if use_pallas(K, F, width, nbr.shape[0]):
-            from .pallas.gather_ops import gather_dot
-
-            sub = K * F // 128
-            g = gather_dot(nbr,
-                           grad_out[row].astype(jnp.float32).reshape(-1, sub, 128),
-                           feat.astype(jnp.float32).reshape(-1, sub, 128), K,
-                           interpret=jax.default_backend() != "tpu")
-            mask = lane_mask(count, width)
-            g = jnp.where(mask[..., None], g, 0.0)
-            gw = gw + _segment_sum(g.reshape(-1, K), edge.reshape(-1),
-                                   num_edges)
-            continue
         chunk = chunk_rows_for_budget(width, 2 * K * F)
 
         def fn(nbr_c, edge_c, row_c, count_c):

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.structure import Graph
-from .common import edge_keep, leaky_relu
+from .common import leaky_relu, pair_keep
 
 __all__ = ["gat_naive", "gmm_naive"]
 
@@ -43,8 +43,7 @@ def gat_naive(graph: Graph, attn_row, attn_col, feat, *,
     a = w / jnp.maximum(l, 1e-20)[row]
     if training and attn_drop > 0.0:
         seed = jax.random.bits(key, dtype=jnp.uint32)
-        eids = jnp.arange(graph.num_edges, dtype=jnp.int32)
-        a = a * edge_keep(seed, eids, attn_row.shape[1], attn_drop)
+        a = a * pair_keep(seed, row, col, attn_row.shape[1], attn_drop)
     msg = a[..., None] * feat[col]  # [E, H, F] materialized
     return jax.ops.segment_sum(msg, row, num_segments=n)
 

@@ -4,8 +4,9 @@ The reference ships these as separate CUDA modules usable outside the three
 fused layers: `mhsddmm` (src/sddmm/mhsddmm.cc), single-head `sddmm`
 (src/sddmm/sddmm.cpp, dead code), `mhtranspose` (src/csr2csc/mhtranspose.cc)
 and the SpMM embedded in every layer.  Here they are first-class functional
-ops with memory-lean custom VJPs, sharing the binned/Pallas machinery, so
-users can compose new GNN layers beyond GAT/GMM/EdgeConv.
+ops with memory-lean custom VJPs, sharing the binned machinery, so users can
+compose new GNN layers beyond GAT/GMM/EdgeConv.  (These flat-edge-data APIs
+need the graph built with device edge tables; the fused layers do not.)
 
 Shapes: per-edge data is [E, H] (or [E, H, ...]) in CSR edge order; node
 data [N, H, F].
@@ -18,7 +19,7 @@ import jax.numpy as jnp
 
 from ..graph.structure import BinnedAdj, Graph
 from .common import (chunk_rows_for_budget, float0_like, lane_mask,
-                     scan_chunked, use_pallas)
+                     scan_chunked)
 
 __all__ = ["spmm", "sddmm", "edge_softmax", "edge_transpose"]
 
@@ -33,26 +34,17 @@ def _spmm_adj(adj: BinnedAdj, weights, feat):
     f = feat.shape[-1]
     accs, rows = [], []
     for width, nbr, edge, row, count in adj.bins():
-        mask = lane_mask(count, width)
-        if use_pallas(h, f, width, nbr.shape[0]):
-            from .pallas.gather_ops import weighted_gather_accumulate
+        chunk = chunk_rows_for_budget(width, h * f)
 
-            w = jnp.where(mask[..., None], weights[edge], 0.0)
-            acc = weighted_gather_accumulate(
-                nbr, w, feat.astype(jnp.float32).reshape(-1, h * f // 128, 128),
-                interpret=jax.default_backend() != "tpu").reshape(-1, h, f)
-        else:
-            chunk = chunk_rows_for_budget(width, h * f)
+        def fn(nbr_c, edge_c, count_c):
+            m = lane_mask(count_c, width)
+            w = jnp.where(m[..., None], weights[edge_c], 0.0)
+            x = feat[nbr_c]
+            return (jnp.einsum("swh,swhf->shf", w, x,
+                               preferred_element_type=jnp.float32),), ()
 
-            def fn(nbr_c, edge_c, count_c):
-                m = lane_mask(count_c, width)
-                w = jnp.where(m[..., None], weights[edge_c], 0.0)
-                x = feat[nbr_c]
-                return (jnp.einsum("swh,swhf->shf", w, x,
-                                   preferred_element_type=jnp.float32),), ()
-
-            (acc,), _ = scan_chunked(fn, (nbr, edge, count), nbr.shape[0],
-                                     chunk, ())
+        (acc,), _ = scan_chunked(fn, (nbr, edge, count), nbr.shape[0],
+                                 chunk, ())
         accs.append(acc)
         rows.append(row)
     return _segment_sum(jnp.concatenate(accs), jnp.concatenate(rows),
@@ -66,32 +58,20 @@ def _sddmm_adj(adj: BinnedAdj, lhs, rhs, num_edges):
     f = lhs.shape[-1]
     out = jnp.zeros((num_edges, h), jnp.float32)
     for width, nbr, edge, row, count in adj.bins():
-        mask = lane_mask(count, width)
-        if use_pallas(h, f, width, nbr.shape[0]):
-            from .pallas.gather_ops import gather_dot
+        chunk = chunk_rows_for_budget(width, 2 * h * f)
 
-            sub = h * f // 128
-            g = gather_dot(nbr, lhs[row].astype(jnp.float32).reshape(-1, sub, 128),
-                           rhs.astype(jnp.float32).reshape(-1, sub, 128), h,
-                           interpret=jax.default_backend() != "tpu")
-            g = jnp.where(mask[..., None], g, 0.0)
-            out = out + _segment_sum(g.reshape(-1, h), edge.reshape(-1),
-                                     num_edges)
-        else:
-            chunk = chunk_rows_for_budget(width, 2 * h * f)
+        def fn(nbr_c, edge_c, row_c, count_c):
+            m = lane_mask(count_c, width)
+            g = jnp.einsum("shf,swhf->swh", lhs[row_c], rhs[nbr_c],
+                           preferred_element_type=jnp.float32)
+            g = jnp.where(m[..., None], g, 0.0)
+            return (), (_segment_sum(g.reshape(-1, h), edge_c.reshape(-1),
+                                     num_edges),)
 
-            def fn(nbr_c, edge_c, row_c, count_c):
-                m = lane_mask(count_c, width)
-                g = jnp.einsum("shf,swhf->swh", lhs[row_c], rhs[nbr_c],
-                               preferred_element_type=jnp.float32)
-                g = jnp.where(m[..., None], g, 0.0)
-                return (), (_segment_sum(g.reshape(-1, h), edge_c.reshape(-1),
-                                         num_edges),)
-
-            _, (upd,) = scan_chunked(fn, (nbr, edge, row, count),
-                                     nbr.shape[0], chunk,
-                                     (jnp.zeros((num_edges, h), jnp.float32),))
-            out = out + upd
+        _, (upd,) = scan_chunked(fn, (nbr, edge, row, count),
+                                 nbr.shape[0], chunk,
+                                 (jnp.zeros((num_edges, h), jnp.float32),))
+        out = out + upd
     return out
 
 

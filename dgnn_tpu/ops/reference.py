@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import edge_keep, leaky_relu
+from .common import leaky_relu, pair_keep
 
 __all__ = ["dense_adj", "dense_edge_ids", "gat_dense", "gmm_dense", "edgeconv_dense"]
 
@@ -38,10 +38,13 @@ def dense_edge_ids(row_ptr, col_ind, num_nodes: int) -> np.ndarray:
 
 
 def gat_dense(adj, attn_row, attn_col, feat, negative_slope=0.2,
-              attn_drop=0.0, seed=None, edge_ids=None):
+              attn_drop=0.0, seed=None, dst_ids=None, src_ids=None):
     """Dense multi-head GAT aggregation.
 
     adj: [N, N] bool (dst, src). attn_row/col: [N, H]. feat: [N, H, F].
+    ``dst_ids``/``src_ids`` override the global node ids used for the
+    dropout pair hash (defaults: positional 0..N-1) — used by sharding
+    tests where local row indices differ from global ids.
     Returns (out [N, H, F], edge_max [N, H], edge_sum [N, H]).
     """
     adj = jnp.asarray(adj)
@@ -53,8 +56,14 @@ def gat_dense(adj, attn_row, attn_col, feat, negative_slope=0.2,
     l = jnp.sum(w, axis=1)  # [N, H]
     a = w / jnp.maximum(l, 1e-20)[:, None, :]
     if attn_drop > 0.0:
-        keep = edge_keep(seed, jnp.asarray(edge_ids), attn_row.shape[1], attn_drop)
-        a = a * jnp.where(jnp.asarray(edge_ids)[..., None] >= 0, keep, 0.0)
+        nd, ns = adj.shape
+        d = (jnp.arange(nd, dtype=jnp.int32) if dst_ids is None
+             else jnp.asarray(dst_ids))
+        sidx = (jnp.arange(ns, dtype=jnp.int32) if src_ids is None
+                else jnp.asarray(src_ids))
+        keep = pair_keep(seed, d[:, None], sidx[None, :], attn_row.shape[1],
+                         attn_drop)
+        a = a * jnp.where(adj[..., None], keep, 0.0)
     out = jnp.einsum("dsh,shf->dhf", a, feat)
     return out, m, l
 

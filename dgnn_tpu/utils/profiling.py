@@ -71,8 +71,8 @@ def gat_epoch_hbm_bytes(num_edges: int, num_nodes: int, heads: int,
     hidden = 2 * num_edges * hf
     out_layer = 2 * num_edges * classes * dtype_bytes
     dense = 2 * 3 * num_nodes * (in_dim * heads * feat +
-                                 heads * feat * classes) * dtype_bytes / 1e9
-    return hidden + out_layer + dense
+                                 heads * feat * classes) * dtype_bytes
+    return float(hidden + out_layer + dense)
 
 
 def _adj_rows(adj) -> int:

@@ -29,7 +29,7 @@ def fetch_scalar(tree):
 
 def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
                     min_signal: float = 0.2, max_epochs: int = 100_000,
-                    consts=None):
+                    consts=None, max_wall: float | None = None):
     """Seconds/epoch of ``carry = step(carry, subkey)`` run device-resident.
 
     One dispatch covers all epochs (lax.fori_loop with a dynamic trip count,
@@ -44,6 +44,11 @@ def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
     and the tree is threaded as a real jit argument — closing over large
     concrete arrays instead would bake them into the executable as
     compile-time constants (slow lowering, duplicated HBM).
+
+    ``max_wall``: optional cap (seconds) on total measurement wall-clock —
+    the auto-doubling stops once the accumulated run time exceeds it, and
+    the best available estimate is returned (keeps benchmark configs inside
+    a fixed driver budget even if min_signal was not reached).
 
     Returns (seconds_per_epoch, final_carry).
     """
@@ -75,9 +80,12 @@ def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
     t0b, _ = run(0)
     base = min(t0a, t0b)
     n = max(int(epochs), 1)
+    spent = 0.0
     while True:
         t, out = run(n)
-        if t - base >= min_signal or n >= max_epochs:
+        spent += t
+        if (t - base >= min_signal or n >= max_epochs
+                or (max_wall is not None and spent >= max_wall)):
             return max(t - base, 1e-9) / n, out[0]
         n = min(2 * n, max_epochs)
 

@@ -78,20 +78,16 @@ def test_grads_power_law_split_rows(rng):
 
 def test_dropout_forward_matches_dense(rng):
     g, ar, ac, feat, adj = _setup(rng)
-    eid = reference.dense_edge_ids(np.asarray(g.row_ptr), np.asarray(g.col_ind),
-                                   g.num_nodes)
     key = jax.random.PRNGKey(7)
     seed = jax.random.bits(key, dtype=jnp.uint32)
     out = gat_aggregate(g, ar, ac, feat, attn_drop=0.5, key=key, training=True)
     ref, _, _ = reference.gat_dense(adj, ar, ac, feat, 0.2, attn_drop=0.5,
-                                    seed=seed, edge_ids=eid)
+                                    seed=seed)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_dropout_grads_match_dense(rng):
     g, ar, ac, feat, adj = _setup(rng, n=40, deg=5, h=2, f=3)
-    eid = reference.dense_edge_ids(np.asarray(g.row_ptr), np.asarray(g.col_ind),
-                                   g.num_nodes)
     key = jax.random.PRNGKey(3)
     seed = jax.random.bits(key, dtype=jnp.uint32)
 
@@ -102,7 +98,7 @@ def test_dropout_grads_match_dense(rng):
 
     def loss_dense(ar, ac, feat):
         out, _, _ = reference.gat_dense(adj, ar, ac, feat, 0.2, attn_drop=0.3,
-                                        seed=seed, edge_ids=eid)
+                                        seed=seed)
         return jnp.sum(out ** 2)
 
     gf = jax.grad(loss_fused, argnums=(0, 1, 2))(ar, ac, feat)
