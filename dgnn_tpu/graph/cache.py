@@ -13,7 +13,7 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-from .structure import BinnedAdj, Graph
+from .structure import BinnedAdj, DenseBlock, Graph
 
 __all__ = ["save_graph", "load_graph"]
 
@@ -23,23 +23,40 @@ def _pack_binned(prefix: str, adj: BinnedAdj, store: dict, meta: dict):
                     "num_edges": adj.num_edges}
     for i in range(adj.num_bins):
         store[f"{prefix}_nbr_{i}"] = np.asarray(adj.nbr[i])
-        store[f"{prefix}_edge_{i}"] = np.asarray(adj.edge[i])
+        if adj.edge[i] is not None:
+            store[f"{prefix}_edge_{i}"] = np.asarray(adj.edge[i])
         store[f"{prefix}_row_{i}"] = np.asarray(adj.row[i])
         store[f"{prefix}_count_{i}"] = np.asarray(adj.count[i])
     if adj.cmb is not None:
         store[f"{prefix}_cmb"] = np.asarray(adj.cmb)
+    if adj.dense is not None:
+        store[f"{prefix}_dense_row_ids"] = np.asarray(adj.dense.row_ids)
+        store[f"{prefix}_dense_col_ids"] = np.asarray(adj.dense.col_ids)
+        store[f"{prefix}_dense_mask"] = np.asarray(adj.dense.mask)
+        meta[prefix]["dense_num_rows"] = adj.dense.num_rows
 
 
 def _unpack_binned(prefix: str, z, meta: dict) -> BinnedAdj:
     m = meta[prefix]
     nbins = len(m["widths"])
+    dense = None
+    if f"{prefix}_dense_mask" in z.files:
+        dense = DenseBlock(
+            row_ids=jnp.asarray(z[f"{prefix}_dense_row_ids"]),
+            col_ids=jnp.asarray(z[f"{prefix}_dense_col_ids"]),
+            mask=jnp.asarray(z[f"{prefix}_dense_mask"]),
+            num_rows=int(m["dense_num_rows"]),
+        )
     return BinnedAdj(
         nbr=tuple(jnp.asarray(z[f"{prefix}_nbr_{i}"]) for i in range(nbins)),
-        edge=tuple(jnp.asarray(z[f"{prefix}_edge_{i}"]) for i in range(nbins)),
+        edge=tuple(jnp.asarray(z[f"{prefix}_edge_{i}"])
+                   if f"{prefix}_edge_{i}" in z.files else None
+                   for i in range(nbins)),
         row=tuple(jnp.asarray(z[f"{prefix}_row_{i}"]) for i in range(nbins)),
         count=tuple(jnp.asarray(z[f"{prefix}_count_{i}"]) for i in range(nbins)),
         cmb=(jnp.asarray(z[f"{prefix}_cmb"]) if f"{prefix}_cmb" in z.files
              else None),
+        dense=dense,
         widths=tuple(m["widths"]),
         num_rows=m["num_rows"],
         num_edges=m["num_edges"],

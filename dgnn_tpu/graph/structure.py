@@ -19,7 +19,24 @@ import numpy as np
 from . import binning as _binning
 from . import build as _build
 
-__all__ = ["BinnedAdj", "Graph", "build_graph", "from_binned"]
+__all__ = ["BinnedAdj", "DenseBlock", "Graph", "build_graph", "from_binned"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseBlock:
+    """Degree-ranked dense hub block on device (see graph/hub.py).
+
+    The block's rows are processed by the Pallas masked-matmul kernels
+    (ops/pallas_dense.py) instead of gathers; its per-row partials are
+    appended AFTER all bin-segment partials and merged through the same
+    combine table.  ``row_ids``/``col_ids`` are 0-padded; padded rows have
+    all-zero mask rows and are excluded from the combine table."""
+
+    row_ids: jax.Array  # [Rpad] int32 — graph row id per dense row
+    col_ids: jax.Array  # [Cpad] int32 — graph col id per kernel slot
+    mask: jax.Array     # [Rpad, Cpad//8] uint8 bit-plane packed adjacency
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -34,10 +51,11 @@ class BinnedAdj:
     XLA's segment ops are ~100x off the streaming rate on TPU)."""
 
     nbr: tuple  # per bin: [S_b, W_b] int32
-    edge: tuple  # per bin: [S_b, W_b] int32 (global CSR edge id)
+    edge: tuple  # per bin: [S_b, W_b] int32 (global CSR edge id), or Nones
     row: tuple  # per bin: [S_b] int32
     count: tuple  # per bin: [S_b] int32
     cmb: object  # [num_rows, K] int32 combine table, or None
+    dense: object  # DenseBlock or None (hub rows routed to the MXU path)
     widths: tuple = dataclasses.field(metadata=dict(static=True))
     num_rows: int = dataclasses.field(metadata=dict(static=True))
     num_edges: int = dataclasses.field(metadata=dict(static=True))
@@ -52,19 +70,40 @@ class BinnedAdj:
             yield self.widths[b], self.nbr[b], self.edge[b], self.row[b], self.count[b]
 
 
-def from_binned(b: _binning.BinnedCSR, with_cmb: bool = True) -> BinnedAdj:
+def from_binned(b: _binning.BinnedCSR, with_cmb: bool = True,
+                with_edge: bool = True, dense=None) -> BinnedAdj:
+    """Upload a host BinnedCSR (+ optional hub.DensePlan) to device.
+
+    ``dense`` rows' partials are indexed AFTER every bin's segments in the
+    combine table (ops append them in that order).  ``with_edge=False``
+    omits the per-slot global-edge-id tables (only needed by flat per-edge
+    data APIs such as ops.primitives.spmm/sddmm — the fused layers derive
+    everything from (row, nbr) ids)."""
     cmb = None
+    dense_dev = None
+    if dense is not None:
+        dense_dev = DenseBlock(row_ids=jnp.asarray(dense.row_ids),
+                               col_ids=jnp.asarray(dense.col_ids),
+                               mask=jnp.asarray(dense.mask),
+                               num_rows=int(dense.num_rows))
     if with_cmb:
-        rows_concat = np.concatenate([np.asarray(r) for r in b.row])
-        valid = np.concatenate([np.asarray(c) for c in b.count]) > 0
-        cmb = jnp.asarray(
-            _binning.combine_table(rows_concat, b.num_rows, valid))
+        rows_concat = [np.asarray(r) for r in b.row]
+        valid = [np.asarray(c) > 0 for c in b.count]
+        if dense is not None:
+            rows_concat.append(np.asarray(dense.row_ids, np.int64))
+            v = np.zeros(len(dense.row_ids), bool)
+            v[:dense.num_rows] = True
+            valid.append(v)
+        cmb = jnp.asarray(_binning.combine_table(
+            np.concatenate(rows_concat), b.num_rows, np.concatenate(valid)))
     return BinnedAdj(
         nbr=tuple(jnp.asarray(x) for x in b.nbr),
-        edge=tuple(jnp.asarray(x) for x in b.edge),
+        edge=(tuple(jnp.asarray(x) for x in b.edge) if with_edge
+              else (None,) * len(b.nbr)),
         row=tuple(jnp.asarray(x) for x in b.row),
         count=tuple(jnp.asarray(x) for x in b.count),
         cmb=cmb,
+        dense=dense_dev,
         widths=b.widths,
         num_rows=b.num_rows,
         num_edges=b.num_edges,
@@ -116,6 +155,8 @@ def build_graph(
     *,
     widths: Sequence[int] | None = None,
     self_loops: bool = True,
+    dense: str | tuple | None = None,
+    edge_tables: bool = True,
 ) -> Graph:
     """Host-side one-time preprocessing from a COO edge list (edge u->v means
     v aggregates u), mirroring the reference pipeline
@@ -123,7 +164,15 @@ def build_graph(
 
     ``widths=None`` picks bin widths per direction from the degree histogram
     (binning.auto_widths) — padding in the slot tables is directly wasted
-    gather time, so the widths minimize total padded slots."""
+    gather time, so the widths minimize total padded slots.
+
+    ``dense``: route the hub-dominated core through the dense MXU path
+    (graph/hub.py).  "auto" plans (R, C) per direction from the measured
+    cost model; a (R, C) tuple forces the block size; None disables.
+
+    ``edge_tables=False`` omits the per-slot global-edge-id device tables
+    (~4 bytes/slot/direction) — only the flat per-edge-data APIs
+    (ops.primitives, ops.gmm.gmm_aggregate) need them."""
     src = np.asarray(src)
     dst = np.asarray(dst)
     if self_loops:
@@ -131,20 +180,43 @@ def build_graph(
         src, dst = _build.add_self_loops(src, dst, num_nodes)
     row_ptr, col_ind = _build.coo_to_csr(src, dst, num_nodes)
     col_ptr, row_ind, permute = _build.csr_to_csc_permute(row_ptr, col_ind)
-    w_fwd = widths if widths is not None else _binning.auto_widths(
-        np.diff(row_ptr))
-    w_bwd = widths if widths is not None else _binning.auto_widths(
-        np.diff(col_ptr))
-    fwd = _binning.bin_csr(row_ptr, col_ind, widths=w_fwd)
-    bwd = _binning.bin_csr(col_ptr, row_ind, edge_ids=permute, widths=w_bwd)
+
+    def _one_dir(rp, ci, eids, opp_deg):
+        """Plan/split dense block, bin the residual, for one direction."""
+        plan = None
+        if dense is not None:
+            from . import hub as _hub
+            sel = (_hub.plan_dense(rp, ci, opp_deg) if dense == "auto"
+                   else None)
+            if isinstance(dense, tuple):
+                r, c = dense
+                rows_by = np.argsort(np.diff(rp), kind="stable")[::-1][:r]
+                cols_by = np.argsort(opp_deg, kind="stable")[::-1][:c]
+                sel = (r, c, rows_by, cols_by)
+            if sel is not None:
+                _, _, rows_sel, cols_sel = sel
+                if eids is None:
+                    eids = np.arange(len(ci), dtype=np.int64)
+                plan, rp, ci, keep = _hub.build_dense_numpy(
+                    rp, ci, rows_sel, cols_sel)
+                eids = eids[keep]
+        w = widths if widths is not None else _binning.auto_widths(
+            np.diff(rp))
+        binned = _binning.bin_csr(rp, ci, edge_ids=eids, widths=w)
+        return from_binned(binned, with_edge=edge_tables, dense=plan)
+
+    deg_in = np.diff(row_ptr)
+    deg_out = np.diff(col_ptr)
+    fwd = _one_dir(row_ptr, col_ind, None, deg_out)
+    bwd = _one_dir(col_ptr, row_ind, permute, deg_in)
     return Graph(
         row_ptr=jnp.asarray(row_ptr, dtype=jnp.int32),
         col_ind=jnp.asarray(col_ind),
         col_ptr=jnp.asarray(col_ptr, dtype=jnp.int32),
         row_ind=jnp.asarray(row_ind),
         permute=jnp.asarray(permute),
-        fwd=from_binned(fwd),
-        bwd=from_binned(bwd),
+        fwd=fwd,
+        bwd=bwd,
         num_nodes=int(num_nodes),
         num_edges=int(col_ind.shape[0]),
     )

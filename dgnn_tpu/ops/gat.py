@@ -141,8 +141,40 @@ def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
     return outs
 
 
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _dense_dt(name):
+    return jnp.float32 if name == "float32" else jnp.bfloat16
+
+
+def _forward_dense(db, ar, ac, feat, slope, p, seed, training, with_pos,
+                   mat_dtype):
+    """Dense hub-block partials via the Pallas masked-flash kernel
+    (ops/pallas_dense.py).  Returns (m, l, lpos, acc, accpos) with leading
+    dim = padded dense rows, appended after all bin segments."""
+    from .pallas_dense import dense_gat_fwd
+
+    if training and p > 0:
+        raise NotImplementedError(
+            "attn_drop > 0 with a dense hub block is not supported yet; "
+            "build the graph with dense=None for attention dropout")
+    H = ar.shape[-1]
+    F = feat.shape[-1]
+    ar_d = ar[db.row_ids]
+    ac_d = ac[db.col_ids]
+    x_d = feat.reshape(-1, H * F)[db.col_ids]
+    m, l, lp, acc, accp = dense_gat_fwd(ar_d, ac_d, x_d, db.mask,
+                                        slope=slope, with_pos=with_pos,
+                                        mat_dtype=mat_dtype,
+                                        interpret=_interpret())
+    return (m, l, lp if with_pos else None, acc.reshape(-1, H, F),
+            accp.reshape(-1, H, F) if with_pos else None)
+
+
 def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
-                 with_pos=True):
+                 with_pos=True, dense_dtype="bfloat16"):
     n = adj.num_rows
     xcat = _concat_rows(feat, ac)
     ms, ls, lps, accs, accps, rows = [], [], [], [], [], []
@@ -157,6 +189,16 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
         accs.append(acc)
         accps.append(accpos)
         rows.append(row)
+    if adj.dense is not None:
+        assert adj.cmb is not None, "dense hub block requires a combine table"
+        m, l, lpos, acc, accpos = _forward_dense(
+            adj.dense, ar, ac, feat, slope, p, seed, training, with_pos,
+            _dense_dt(dense_dtype))
+        ms.append(m)
+        ls.append(l)
+        lps.append(lpos)
+        accs.append(acc)
+        accps.append(accpos)
     m_all = jnp.concatenate(ms)
     l_all = jnp.concatenate(ls)
     acc_all = jnp.concatenate(accs)
@@ -245,23 +287,27 @@ def _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L, ws, feat, zcat,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _gat_fused(slope, p, training, adj_fwd, adj_bwd, ar, ac, feat, seed):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _gat_fused(slope, p, training, dense_dtype, adj_fwd, adj_bwd, ar, ac,
+               feat, seed):
     # primal-only path (inference / no grads): skip the sign-split work
     out, _, _, _, _ = _gat_forward(adj_fwd, ar, ac, feat, slope, p, seed,
-                                   training, with_pos=False)
+                                   training, with_pos=False,
+                                   dense_dtype=dense_dtype)
     return out
 
 
-def _gat_fused_fwd(slope, p, training, adj_fwd, adj_bwd, ar, ac, feat, seed):
+def _gat_fused_fwd(slope, p, training, dense_dtype, adj_fwd, adj_bwd, ar, ac,
+                   feat, seed):
     out, M, L, out_pos, r = _gat_forward(adj_fwd, ar, ac, feat, slope, p,
-                                         seed, training)
+                                         seed, training,
+                                         dense_dtype=dense_dtype)
     # Residuals: softmax stats + the sign-split aggregates — per-edge
     # attention is recomputed in the single backward pass.
     return out, (adj_fwd, adj_bwd, ar, ac, feat, M, L, out, out_pos, r, seed)
 
 
-def _gat_fused_bwd(slope, p, training, res, g_out):
+def _gat_fused_bwd(slope, p, training, dense_dtype, res, g_out):
     adj_fwd, adj_bwd, ar, ac, feat, M, L, out, out_pos, r, seed = res
     g_out = g_out.astype(feat.dtype)
     # Bipartite-general: destination rows (adj_fwd) and source rows (adj_bwd)
@@ -287,6 +333,20 @@ def _gat_fused_bwd(slope, p, training, res, g_out):
         dx_parts.append(dxp)
         dac_parts.append(dacp)
         rows_b.append(row)
+    if adj_bwd.dense is not None:
+        assert adj_bwd.cmb is not None
+        from .pallas_dense import dense_gat_bwd
+
+        db = adj_bwd.dense
+        H = ar.shape[-1]
+        F = feat.shape[-1]
+        # rows = sources, cols = destinations of the transposed block
+        dxp, dacp = dense_gat_bwd(
+            ac[db.row_ids], feat.reshape(-1, H * F)[db.row_ids],
+            zcat[db.col_ids], db.mask, slope=slope, H=H,
+            mat_dtype=_dense_dt(dense_dtype), interpret=_interpret())
+        dx_parts.append(dxp.reshape(-1, H, F))
+        dac_parts.append(dacp)
     if adj_bwd.cmb is not None:
         d_feat = combine_sum(adj_bwd.cmb,
                              jnp.concatenate(dx_parts)).astype(feat.dtype)
@@ -307,7 +367,8 @@ _gat_fused.defvjp(_gat_fused_fwd, _gat_fused_bwd)
 
 def gat_aggregate(graph: Graph, attn_row, attn_col, feat, *,
                   negative_slope: float = 0.2, attn_drop: float = 0.0,
-                  key=None, training: bool = False, gather_dtype=None):
+                  key=None, training: bool = False, gather_dtype=None,
+                  dense_dtype: str = "bfloat16"):
     """Fused GAT neighborhood aggregation.
 
     out[i, h] = sum_j softmax_j(LeakyReLU(attn_row[i,h] + attn_col[j,h]))
@@ -327,6 +388,9 @@ def gat_aggregate(graph: Graph, attn_row, attn_col, feat, *,
       training: enables dropout.
       gather_dtype: optional storage dtype (e.g. jnp.bfloat16) for the
         neighbor-feature gathers; accumulation is always f32.
+      dense_dtype: MXU input dtype for the dense hub-block matmuls
+        ("bfloat16" default — f32 accumulation; "float32" for exact
+        parity testing).  Ignored when the graph has no dense block.
     Returns:
       [N, H, F] aggregated features.
     """
@@ -342,5 +406,6 @@ def gat_aggregate(graph: Graph, attn_row, attn_col, feat, *,
         # parameter gradients outside.
         feat = feat.astype(gather_dtype)
     out = _gat_fused(float(negative_slope), float(attn_drop), bool(training),
-                     graph.fwd, graph.bwd, attn_row, attn_col, feat, seed)
+                     str(dense_dtype), graph.fwd, graph.bwd, attn_row,
+                     attn_col, feat, seed)
     return out.astype(jnp.float32)

@@ -49,8 +49,8 @@ from ..graph.structure import BinnedAdj, Graph
 from .common import (chunk_rows_for_budget, combine_sum, float0_like,
                      lane_mask, scan_chunked)
 
-__all__ = ["gmm_aggregate", "gmm_aggregate_binned", "gaussian_weights",
-           "bin_edge_data"]
+__all__ = ["gmm_aggregate", "gmm_aggregate_binned", "gmm_aggregate_node",
+           "gaussian_weights", "bin_edge_data"]
 
 
 def gaussian_weights(pseudo, mu, inv_sigma):
@@ -355,3 +355,244 @@ def gmm_aggregate(graph: Graph, feat, pseudo, mu, inv_sigma):
       layer does: layers/gmmconv_layer.py:58).
     """
     return _gmm_fused(graph.fwd, graph.bwd, feat, pseudo, mu, inv_sigma)
+
+
+# ---------------------------------------------------------------------------
+# Node-derived pseudo path: pseudo[e=(u->v)] = [src_scalars[u], dst_scalars[v]]
+# ---------------------------------------------------------------------------
+#
+# The reference's citation-graph protocol uses pseudo = [1/sqrt(deg_u),
+# 1/sqrt(deg_v)] (train_gmmconv.py:120-122) — a function of the edge's
+# ENDPOINTS.  Deriving it inside the pass from per-node scalars removes the
+# [slots, W, D] pseudo tables entirely (2 x ~1.3 GB at Reddit scale, the
+# round-1 OOM), lets the projection Linear(Din, D)+tanh collapse to
+# per-node alpha/beta arrays (pre_d = alpha_d[u] + beta_d[v]), and makes the
+# edge weight separable — which is what enables the dense hub-block kernels
+# (ops/pallas_dense.py).  All parameter gradients are in-pass global sums.
+
+
+def _interp():
+    return jax.default_backend() != "tpu"
+
+
+def _dense_dt(name):
+    return jnp.float32 if name == "float32" else jnp.bfloat16
+
+
+def _node_fwd(adj: BinnedAdj, alpha, beta, feat, mu, isig, use_tanh,
+              dense_dtype):
+    """CSR pass: out[v] = sum_u gauss(tanh(alpha[u] + beta[v])) * x[u]."""
+    n = adj.num_rows
+    K, F = feat.shape[-2], feat.shape[-1]
+    D = mu.shape[1]
+    KF = K * F
+    xcat = jnp.concatenate([feat.reshape(-1, KF),
+                            alpha.astype(feat.dtype)], axis=1)
+    accs, rows = [], []
+    for width, nbr, edge, row, count in adj.bins():
+        chunk = chunk_rows_for_budget(width, KF + D)
+
+        def fn(nbr_c, row_c, count_c):
+            mask = lane_mask(count_c, width)
+            g = xcat[nbr_c]  # [S, W, KF+D] — the ONE edge-sized gather
+            x = g[..., :KF].reshape(g.shape[0], width, K, F)
+            a_u = g[..., KF:].astype(jnp.float32)  # [S, W, D]
+            b_v = beta[row_c]  # [S, D] resident
+            p_d = []
+            for d in range(D):
+                pre = a_u[..., d] + b_v[:, d][:, None]
+                p_d.append(jnp.tanh(pre) if use_tanh else pre)
+            acc_k = []
+            for k in range(K):
+                w = jnp.where(mask, _gauss_k(p_d, mu, isig, k), 0.0)
+                acc_k.append(jnp.einsum("sw,swf->sf", w, x[:, :, k, :],
+                                        preferred_element_type=jnp.float32))
+            return (jnp.stack(acc_k, axis=1),), ()
+
+        (acc,), _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0], chunk,
+                                 ())
+        accs.append(acc)
+        rows.append(row)
+    if adj.dense is not None:
+        assert adj.cmb is not None
+        from .pallas_dense import dense_gmm_fwd
+
+        db = adj.dense
+        acc = dense_gmm_fwd(beta[db.row_ids], alpha[db.col_ids],
+                            feat.reshape(-1, KF)[db.col_ids], db.mask, mu,
+                            isig, use_tanh=use_tanh,
+                            mat_dtype=_dense_dt(dense_dtype),
+                            interpret=_interp())
+        accs.append(acc.reshape(-1, K, F))
+    if adj.cmb is not None:
+        return combine_sum(adj.cmb, jnp.concatenate(accs))
+    return _segment_sum(jnp.concatenate(accs), jnp.concatenate(rows), n)
+
+
+def _node_bwd(adj_bwd: BinnedAdj, alpha, beta, sfeat, dfeat, feat, mu, isig,
+              use_tanh, dense_dtype, g_out):
+    """Single CSC pass: dX per-source sums; dmu/disg/d(alpha proj)/d(beta
+    proj) as in-pass global sums.  Rows = sources (alpha, feat resident);
+    gathered rows carry [g_out | beta | dfeat]."""
+    n_src = adj_bwd.num_rows
+    K, F = feat.shape[-2], feat.shape[-1]
+    D = mu.shape[1]
+    Dd = dfeat.shape[-1]
+    KF = K * F
+    zcat = jnp.concatenate([g_out.reshape(-1, KF), beta, dfeat], axis=1)
+    zeros = (jnp.zeros((K, D), jnp.float32), jnp.zeros((K, D), jnp.float32),
+             jnp.zeros((D,), jnp.float32),
+             jnp.zeros((sfeat.shape[-1], D), jnp.float32),
+             jnp.zeros((Dd, D), jnp.float32))
+    d_mu, d_isig, d_pb, d_pws, d_pwd = zeros
+    dxs, rows = [], []
+    for (width, nbr, edge, row, count) in adj_bwd.bins():
+        chunk = chunk_rows_for_budget(width, 2 * (KF + D + Dd))
+
+        def fn(nbr_c, row_c, count_c):
+            mask = lane_mask(count_c, width)
+            z = zcat[nbr_c]  # [S, W, KF+D+Dd] — the ONE edge-sized gather
+            g = z[..., :KF].reshape(z.shape[0], width, K, F)
+            b_v = z[..., KF:KF + D].astype(jnp.float32)   # [S, W, D]
+            df_v = z[..., KF + D:].astype(jnp.float32)    # [S, W, Dd]
+            a_u = alpha[row_c]                             # [S, D] resident
+            x_res = feat[row_c].astype(jnp.float32)        # [S, K, F]
+            p_d = []
+            for d in range(D):
+                pre = b_v[..., d] + a_u[:, d][:, None]
+                p_d.append(jnp.tanh(pre) if use_tanh else pre)
+            dx_k = []
+            dmu = jnp.zeros((K, D), jnp.float32)
+            disg = jnp.zeros((K, D), jnp.float32)
+            dp = [jnp.zeros_like(p_d[0]) for _ in range(D)]
+            for k in range(K):
+                w = jnp.where(mask, _gauss_k(p_d, mu, isig, k), 0.0)
+                g_k = g[:, :, k, :]
+                dx_k.append(jnp.einsum("sw,swf->sf", w, g_k,
+                                       preferred_element_type=jnp.float32))
+                gw = jnp.einsum("sf,swf->sw", x_res[:, k, :], g_k,
+                                preferred_element_type=jnp.float32)
+                c = gw * w
+                for d in range(D):
+                    t_d = (p_d[d] - mu[k, d]) * isig[k, d]
+                    dmu = dmu.at[k, d].add(jnp.sum(c * t_d) * isig[k, d])
+                    disg = disg.at[k, d].add(
+                        -jnp.sum(c * t_d * (p_d[d] - mu[k, d])))
+                    dp[d] = dp[d] - c * t_d * isig[k, d]
+            dpb = jnp.zeros((D,), jnp.float32)
+            dpws = jnp.zeros((sfeat.shape[-1], D), jnp.float32)
+            dpwd = jnp.zeros((Dd, D), jnp.float32)
+            sf_res = sfeat[row_c].astype(jnp.float32)  # [S, Ds]
+            for d in range(D):
+                dpre = dp[d] * (1.0 - p_d[d] * p_d[d]) if use_tanh else dp[d]
+                dpb = dpb.at[d].add(jnp.sum(dpre))
+                row_sums = jnp.sum(dpre, axis=1)  # [S]
+                for i in range(sfeat.shape[-1]):
+                    dpws = dpws.at[i, d].add(jnp.sum(row_sums * sf_res[:, i]))
+                for i in range(Dd):
+                    dpwd = dpwd.at[i, d].add(jnp.sum(dpre * df_v[..., i]))
+            return (jnp.stack(dx_k, axis=1),), (dmu, disg, dpb, dpws, dpwd)
+
+        (dx_p,), upd = scan_chunked(fn, (nbr, row, count), nbr.shape[0],
+                                    chunk, zeros)
+        d_mu = d_mu + upd[0]
+        d_isig = d_isig + upd[1]
+        d_pb = d_pb + upd[2]
+        d_pws = d_pws + upd[3]
+        d_pwd = d_pwd + upd[4]
+        dxs.append(dx_p)
+        rows.append(row)
+    if adj_bwd.dense is not None:
+        assert adj_bwd.cmb is not None
+        from .pallas_dense import dense_gmm_bwd
+
+        db = adj_bwd.dense
+        KD = K * D
+        zc = zcat[db.col_ids]  # one [C]-row gather; kernel wants [g | dfeat]
+        z_k = jnp.concatenate([zc[:, :KF], zc[:, KF + D:]], axis=1)
+        dx_p, st = dense_gmm_bwd(
+            alpha[db.row_ids], zc[:, KF:KF + D].astype(jnp.float32),
+            feat.reshape(-1, KF)[db.row_ids], z_k,
+            db.mask, mu, isig, use_tanh=use_tanh, Dd=Dd,
+            mat_dtype=_dense_dt(dense_dtype), interpret=_interp())
+        dxs.append(dx_p.reshape(-1, K, F))
+        valid = (jnp.arange(db.row_ids.shape[0]) < db.num_rows)[:, None]
+        st = jnp.where(valid, st, 0.0)
+        d_mu = d_mu + st[:, :KD].sum(0).reshape(K, D) * isig
+        d_isig = d_isig - st[:, KD:2 * KD].sum(0).reshape(K, D)
+        rs = st[:, 2 * KD:2 * KD + D]  # [R, D] sum dpre
+        d_pb = d_pb + rs.sum(0)
+        sf_r = sfeat[db.row_ids].astype(jnp.float32)
+        d_pws = d_pws + jnp.einsum("rd,ri->id", rs, sf_r)
+        rd = st[:, 2 * KD + D:].reshape(-1, D, Dd)
+        d_pwd = d_pwd + rd.sum(0).T
+    if adj_bwd.cmb is not None:
+        d_feat = combine_sum(adj_bwd.cmb, jnp.concatenate(dxs))
+    else:
+        d_feat = _segment_sum(jnp.concatenate(dxs), jnp.concatenate(rows),
+                              n_src)
+    return d_feat, d_mu, d_isig, d_pb, d_pws, d_pwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gmm_node(use_tanh, dense_dtype, adj_fwd, adj_bwd, sfeat, dfeat, feat,
+              pw_s, pw_d, pbias, mu, isig):
+    alpha = sfeat.astype(jnp.float32) @ pw_s
+    beta = dfeat.astype(jnp.float32) @ pw_d + pbias
+    return _node_fwd(adj_fwd, alpha, beta, feat, mu, isig, use_tanh,
+                     dense_dtype)
+
+
+def _gmm_node_fwd(use_tanh, dense_dtype, adj_fwd, adj_bwd, sfeat, dfeat,
+                  feat, pw_s, pw_d, pbias, mu, isig):
+    out = _gmm_node(use_tanh, dense_dtype, adj_fwd, adj_bwd, sfeat, dfeat,
+                    feat, pw_s, pw_d, pbias, mu, isig)
+    return out, (adj_fwd, adj_bwd, sfeat, dfeat, feat, pw_s, pw_d, pbias, mu,
+                 isig)
+
+
+def _gmm_node_bwd(use_tanh, dense_dtype, res, g_out):
+    adj_fwd, adj_bwd, sfeat, dfeat, feat, pw_s, pw_d, pbias, mu, isig = res
+    alpha = sfeat.astype(jnp.float32) @ pw_s
+    beta = dfeat.astype(jnp.float32) @ pw_d + pbias
+    g_out = g_out.astype(jnp.float32)
+    d_feat, d_mu, d_isig, d_pb, d_pws, d_pwd = _node_bwd(
+        adj_bwd, alpha, beta, sfeat, dfeat, feat, mu, isig, use_tanh,
+        dense_dtype, g_out)
+    return (float0_like(adj_fwd), float0_like(adj_bwd), float0_like(sfeat),
+            float0_like(dfeat), d_feat.astype(feat.dtype),
+            d_pws.astype(pw_s.dtype), d_pwd.astype(pw_d.dtype),
+            d_pb.astype(pbias.dtype), d_mu.astype(mu.dtype),
+            d_isig.astype(isig.dtype))
+
+
+_gmm_node.defvjp(_gmm_node_fwd, _gmm_node_bwd)
+
+
+def gmm_aggregate_node(graph: Graph, feat, src_scalars, dst_scalars, mu,
+                       inv_sigma, *, proj_weight, proj_bias,
+                       use_tanh: bool = True, dense_dtype: str = "bfloat16"):
+    """Fused MoNet aggregation with NODE-derived pseudo-coordinates.
+
+    The pseudo-coordinate of edge (u -> v) is
+    ``concat(src_scalars[u], dst_scalars[v])`` projected by
+    Linear(Ds+Dd, D) [+ tanh] — the reference's citation protocol
+    (pseudo = [1/sqrt(deg_u), 1/sqrt(deg_v)], train_gmmconv.py:120-122)
+    with the projection folded into per-node alpha/beta arrays.  No
+    per-edge pseudo is ever materialized (2 x ~1.3 GB saved at Reddit
+    scale) and the hub-dense MXU path applies (ops/pallas_dense.py).
+
+    Args:
+      feat: [N, K, F]; src_scalars: [N, Ds]; dst_scalars: [N, Dd]
+        (non-differentiable, e.g. rsqrt degrees).
+      mu, inv_sigma: [K, D]; proj_weight: [Ds+Dd, D]; proj_bias: [D].
+      dense_dtype: MXU input dtype for the dense block ("bfloat16" |
+        "float32").
+    Returns [N, K, F].
+    """
+    ds = src_scalars.shape[-1]
+    pw_s = proj_weight[:ds]
+    pw_d = proj_weight[ds:]
+    return _gmm_node(bool(use_tanh), str(dense_dtype), graph.fwd, graph.bwd,
+                     src_scalars, dst_scalars, feat, pw_s, pw_d, proj_bias,
+                     mu, inv_sigma)

@@ -1,0 +1,423 @@
+"""Pallas TPU kernels for the dense hub-block path.
+
+Reddit-class power-law graphs concentrate most edges in a small dense block:
+the top-64K rows x top-64K columns (by degree) of the Reddit-scale R-MAT
+hold ~92% of all edges at ~2.5% density.  Per-edge gathers on this TPU are
+rate-bound at ~75M rows/s (docs/PERF_NOTES.md), so the fused ops route that
+block through these kernels instead: a flash-attention-style masked softmax
+aggregation over a bit-packed [R, C] adjacency, streaming column tiles from
+HBM through VMEM with score/softmax math on the VPU and aggregation matmuls
+on the MXU (see scripts/microbench_dense.py for the measured rates).
+
+Reference analogue: none — dgNN's warp-per-row CSR kernels
+(fused_gatconv_kernel.cu:24-118) stream CSR edges at the GPU's random-read
+bandwidth; the dense-block formulation is the same computation re-designed
+for a systolic-array machine.
+
+Grid layout: (row_chunks, col_tiles); col tiles iterate innermost, so the
+running (m, l, acc, ...) state lives in the output VMEM blocks (whose index
+map is constant in t) across a row chunk's sweep — the flash-attention
+online-softmax structure.
+
+Mask format ("bit-plane" packing, built by graph/hub.py): columns are
+handled in tiles of ``DENSE_CT``.  Within a tile, the adjacency bit of the
+column at lane j lives in byte j % (CT/8), bit j // (CT/8) — so the kernel
+unpack is eight shift-ands concatenated along lanes, with no lane gather.
+The host stores ``col_ids`` in matching order, making the layout invisible
+to everything outside the mask packer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30  # python float: jnp scalars become captured consts in kernels
+
+# Fixed column-tile width baked into the mask packing (graph/hub.py).
+DENSE_CT = 2048
+
+__all__ = ["dense_gat_fwd", "dense_gat_bwd", "DENSE_CT", "unpack_mask"]
+
+
+def unpack_mask(bits_u8):
+    """[Rt, Ct//8] uint8 (bit-plane layout) -> [Rt, Ct] int32 in {0, 1}."""
+    b = bits_u8.astype(jnp.int32)
+    return jnp.concatenate([(b >> k) & 1 for k in range(8)], axis=1)
+
+
+def _gat_fwd_kernel(ar_ref, ac_ref, x_ref, mb_ref,
+                    m_ref, l_ref, lp_ref, acc_ref, accp_ref,
+                    *, H, F, slope, with_pos, mat_dtype):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, jnp.float32(NEG))
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        lp_ref[:] = jnp.zeros_like(lp_ref)
+        if with_pos:
+            accp_ref[:] = jnp.zeros_like(accp_ref)
+
+    mask = unpack_mask(mb_ref[:]) > 0  # [Rt, Ct] bool
+    for h in range(H):
+        ar_h = ar_ref[:, h][:, None]  # [Rt, 1]
+        ac_h = ac_ref[:, h][None, :]  # [1, Ct]
+        s = ar_h + ac_h
+        s = jnp.where(s >= 0, s, s * slope)
+        s = jnp.where(mask, s, NEG)
+        m_old = m_ref[:, h][:, None]  # [Rt, 1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        ptile = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # [Rt, Ct]
+        resc = jnp.exp(m_old - m_new)  # [Rt, 1]
+        m_ref[:, h] = m_new[:, 0]
+        l_ref[:, h] = l_ref[:, h] * resc[:, 0] + jnp.sum(ptile, axis=1)
+        x_h = x_ref[:, h * F:(h + 1) * F]  # [Ct, F]
+        upd = jax.lax.dot(ptile.astype(mat_dtype), x_h.astype(mat_dtype),
+                          preferred_element_type=jnp.float32)
+        acc_ref[:, h * F:(h + 1) * F] = (
+            acc_ref[:, h * F:(h + 1) * F] * resc + upd)
+        if with_pos:
+            ppos = jnp.where(s >= 0, ptile, 0.0)
+            lp_ref[:, h] = lp_ref[:, h] * resc[:, 0] + jnp.sum(ppos, axis=1)
+            updp = jax.lax.dot(ppos.astype(mat_dtype), x_h.astype(mat_dtype),
+                               preferred_element_type=jnp.float32)
+            accp_ref[:, h * F:(h + 1) * F] = (
+                accp_ref[:, h * F:(h + 1) * F] * resc + updp)
+
+
+def dense_gat_fwd(ar_d, ac_d, x_d, mask_bits, *, slope: float,
+                  Rt: int = 256, Ct: int = DENSE_CT, with_pos: bool = True,
+                  mat_dtype=jnp.bfloat16, interpret: bool = False):
+    """Masked-softmax aggregation over a bit-packed dense block.
+
+    Args:
+      ar_d: [R, H] f32 — attn_row of the block's destination rows.
+      ac_d: [C, H] f32 — attn_col of the block's source columns.
+      x_d:  [C, H*F] features of source columns.
+      mask_bits: [R, C//8] uint8, bit-plane packed adjacency (graph/hub.py).
+    Returns (m, l, lpos, acc, accpos): [R, H] stats and [R, H*F] weighted
+    sums — the same per-segment partial tuple the binned path produces, fed
+    into the log-sum-exp combine.  accpos is zeros when not ``with_pos``.
+    """
+    R, H = ar_d.shape
+    C = ac_d.shape[0]
+    HF = x_d.shape[-1]
+    F = HF // H
+    assert R % Rt == 0 and C % Ct == 0 and Ct % 8 == 0, (R, C, Rt, Ct)
+    n_rt, n_ct = R // Rt, C // Ct
+    kern = functools.partial(_gat_fwd_kernel, H=H, F=F, slope=float(slope),
+                             with_pos=with_pos, mat_dtype=mat_dtype)
+
+    def row_spec(w):
+        return pl.BlockSpec((Rt, w), lambda r, t: (r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec(w):
+        return pl.BlockSpec((Ct, w), lambda r, t: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((R, H), jnp.float32),   # m
+        jax.ShapeDtypeStruct((R, H), jnp.float32),   # l
+        jax.ShapeDtypeStruct((R, H), jnp.float32),   # lpos
+        jax.ShapeDtypeStruct((R, HF), jnp.float32),  # acc
+        jax.ShapeDtypeStruct((R, HF), jnp.float32),  # accpos
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(n_rt, n_ct),
+        in_specs=[
+            row_spec(H),                                   # ar
+            col_spec(H),                                   # ac
+            col_spec(HF),                                  # x
+            pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
+                         memory_space=pltpu.VMEM),         # mask bits
+        ],
+        out_shape=out_shape,
+        out_specs=[row_spec(H), row_spec(H), row_spec(H), row_spec(HF),
+                   row_spec(HF)],
+        interpret=interpret,
+    )(ar_d, ac_d, x_d, mask_bits)
+
+
+def _gat_bwd_kernel(ac_ref, x_ref, z_ref, mb_ref,
+                    dx_ref, dac_ref, *, H, F, slope, mat_dtype):
+    """Dense-block half of GAT pass B (transposed layout).
+
+    Rows = source nodes of the block, cols = destination nodes.
+    z_ref packs per-destination [g | ar | M | L | ws]: [Ct, H*F + 4H].
+      dx[r]  += sum_c a_rc g_c          (a from recomputed softmax)
+      dac[r] += sum_c (a ge - a ws_c) * leaky'(s_raw)
+    with ge_rc = <x_r, g_c> per head (MXU), s_raw = ar_c + ac_r.
+    (Reference analogue: mhspmm_backward_kernel + the grad_attn_col
+    atomicAdd, fused_gatconv_kernel.cu:712-763, :957.)
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+        dac_ref[:] = jnp.zeros_like(dac_ref)
+
+    mask = unpack_mask(mb_ref[:]) > 0
+    HF = H * F
+    for h in range(H):
+        g_h = z_ref[:, h * F:(h + 1) * F]          # [Ct, F]
+        ar_c = z_ref[:, HF + h][None, :]           # [1, Ct]
+        M_c = z_ref[:, HF + H + h][None, :]
+        L_c = z_ref[:, HF + 2 * H + h][None, :]
+        ws_c = z_ref[:, HF + 3 * H + h][None, :]
+        ac_r = ac_ref[:, h][:, None]               # [Rt, 1]
+        s_raw = ar_c + ac_r                        # [Rt, Ct]
+        s = jnp.where(s_raw >= 0, s_raw, s_raw * slope)
+        a = jnp.exp(s - M_c) / jnp.maximum(L_c, 1e-20)
+        a = jnp.where(mask, a, 0.0)
+        dx_ref[:, h * F:(h + 1) * F] += jax.lax.dot(
+            a.astype(mat_dtype), g_h.astype(mat_dtype),
+            preferred_element_type=jnp.float32)
+        x_h = x_ref[:, h * F:(h + 1) * F]          # [Rt, F]
+        ge = jax.lax.dot_general(
+            x_h.astype(mat_dtype), g_h.astype(mat_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [Rt, Ct]
+        dprime = jnp.where(s_raw >= 0, 1.0, slope)
+        u = a * (ge - ws_c) * dprime
+        dac_ref[:, h] += jnp.sum(jnp.where(mask, u, 0.0), axis=1)
+
+
+def dense_gat_bwd(ac_d, x_d, z_d, mask_bits, *, slope: float, H: int,
+                  Rt: int = 256, Ct: int = DENSE_CT,
+                  mat_dtype=jnp.bfloat16, interpret: bool = False):
+    """Dense-block dX / d attn_col partials over the transposed block.
+
+    ac_d: [R, H] attn_col of source rows; x_d: [R, H*F] source features;
+    z_d: [C, H*F + 4H] packed per-destination [g | ar | M | L | ws];
+    mask_bits: [R, C//8] uint8 (transposed-block adjacency, bit-plane).
+    Returns (dx [R, H*F], dac [R, H]).
+    """
+    R = ac_d.shape[0]
+    C = z_d.shape[0]
+    HF = x_d.shape[-1]
+    F = HF // H
+    assert R % Rt == 0 and C % Ct == 0, (R, C, Rt, Ct)
+    kern = functools.partial(_gat_bwd_kernel, H=H, F=F, slope=float(slope),
+                             mat_dtype=mat_dtype)
+
+    def row_spec(w):
+        return pl.BlockSpec((Rt, w), lambda r, t: (r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec(w):
+        return pl.BlockSpec((Ct, w), lambda r, t: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kern,
+        grid=(R // Rt, C // Ct),
+        in_specs=[
+            row_spec(H),                                    # ac
+            row_spec(HF),                                   # x
+            col_spec(HF + 4 * H),                           # z
+            pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
+                         memory_space=pltpu.VMEM),          # mask bits
+        ],
+        out_shape=[jax.ShapeDtypeStruct((R, HF), jnp.float32),
+                   jax.ShapeDtypeStruct((R, H), jnp.float32)],
+        out_specs=[row_spec(HF), row_spec(H)],
+        interpret=interpret,
+    )(ac_d, x_d, z_d, mask_bits)
+
+
+# ---------------------------------------------------------------------------
+# GMM (MoNet) dense-block kernels — node-derived pseudo coordinates
+# ---------------------------------------------------------------------------
+#
+# In node-pseudo mode (ops/gmm.py gmm_aggregate_node) the projected pseudo
+# coordinate of edge (u -> v) is separable: pre_d = alpha_d[u] + beta_d[v]
+# (+ bias folded into beta), optionally tanh'd, so a dense tile derives every
+# edge weight from two rank-1 broadcasts — the same structure as the GAT
+# score.  Reference analogue: fuseGmm (fused_gmmconv_kernel.cu:24-55), which
+# streams materialized per-edge pseudo instead.
+
+
+def _gmm_fwd_kernel(beta_ref, alpha_ref, x_ref, mb_ref, mu_ref, isig_ref,
+                    acc_ref, *, K, D, F, use_tanh, mat_dtype):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    mask = unpack_mask(mb_ref[:]) > 0
+    p_d = []
+    for d in range(D):
+        pre = beta_ref[:, d][:, None] + alpha_ref[:, d][None, :]  # [Rt, Ct]
+        p_d.append(jnp.tanh(pre) if use_tanh else pre)
+    for k in range(K):
+        q = 0.0
+        for d in range(D):
+            tkd = (p_d[d] - mu_ref[k, d]) * isig_ref[k, d]
+            q = q + tkd * tkd
+        w = jnp.where(mask, jnp.exp(-0.5 * q), 0.0)  # [Rt, Ct]
+        x_k = x_ref[:, k * F:(k + 1) * F]
+        acc_ref[:, k * F:(k + 1) * F] += jax.lax.dot(
+            w.astype(mat_dtype), x_k.astype(mat_dtype),
+            preferred_element_type=jnp.float32)
+
+
+def dense_gmm_fwd(beta_r, alpha_c, x_c, mask_bits, mu, isig, *,
+                  use_tanh: bool, Rt: int = 256, Ct: int = DENSE_CT,
+                  mat_dtype=jnp.bfloat16, interpret: bool = False):
+    """Gaussian-weighted aggregation over a dense block.
+
+    beta_r: [R, D] destination-side projected pseudo (bias folded in);
+    alpha_c: [C, D] source-side projected pseudo; x_c: [C, K*F] features;
+    mu/isig: [K, D].  Returns acc [R, K*F].
+    """
+    R, D = beta_r.shape
+    C = alpha_c.shape[0]
+    KF = x_c.shape[-1]
+    K = mu.shape[0]
+    F = KF // K
+    assert R % Rt == 0 and C % Ct == 0
+    kern = functools.partial(_gmm_fwd_kernel, K=K, D=D, F=F,
+                             use_tanh=bool(use_tanh), mat_dtype=mat_dtype)
+
+    def row_spec(w):
+        return pl.BlockSpec((Rt, w), lambda r, t: (r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec(w):
+        return pl.BlockSpec((Ct, w), lambda r, t: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kern,
+        grid=(R // Rt, C // Ct),
+        in_specs=[
+            row_spec(D),                                    # beta (dst rows)
+            col_spec(D),                                    # alpha (src cols)
+            col_spec(KF),                                   # x
+            pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
+                         memory_space=pltpu.VMEM),          # mask
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # mu
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # isig
+        ],
+        out_shape=jax.ShapeDtypeStruct((R, KF), jnp.float32),
+        out_specs=row_spec(KF),
+        interpret=interpret,
+    )(beta_r, alpha_c, x_c, mask_bits, mu, isig)
+
+
+def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, z_ref, mb_ref, mu_ref,
+                    isig_ref, dx_ref, st_ref, *, K, D, Dd, F, use_tanh,
+                    mat_dtype):
+    """Transposed-block GMM backward: rows = sources, cols = destinations.
+
+    z_ref: [Ct, K*F + Dd] = [grad_out | dfeat(dst-side raw pseudo)].
+    st_ref row-stat layout (per source row, summed over its dense edges):
+      [0:KD)        sum c_k t_kd                  (-> dmu via * isig)
+      [KD:2KD)      sum c_k t_kd (p_d - mu_kd)    (-> disg via * -1)
+      [2KD:2KD+D)   sum dpre_d                    (-> dpb; dpw src part)
+      [2KD+D:2KD+D+D*Dd) sum dpre_d * dfeat_i     (-> dpw dst part)
+    with c_k = w_k <x_r, g_c>, dpre the grad wrt the pre-tanh projection.
+    """
+    t = pl.program_id(1)
+    KD = K * D
+
+    @pl.when(t == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+        st_ref[:] = jnp.zeros_like(st_ref)
+
+    mask = unpack_mask(mb_ref[:]) > 0
+    KF = K * F
+    p_d, pre_d = [], []
+    for d in range(D):
+        pre = alpha_ref[:, d][:, None] + beta_ref[:, d][None, :]  # [Rt, Ct]
+        pre_d.append(pre)
+        p_d.append(jnp.tanh(pre) if use_tanh else pre)
+    dp = [0.0] * D
+    for k in range(K):
+        q = 0.0
+        t_kd = []
+        for d in range(D):
+            tt = (p_d[d] - mu_ref[k, d]) * isig_ref[k, d]
+            t_kd.append(tt)
+            q = q + tt * tt
+        w = jnp.where(mask, jnp.exp(-0.5 * q), 0.0)
+        g_k = z_ref[:, k * F:(k + 1) * F]  # [Ct, F]
+        dx_ref[:, k * F:(k + 1) * F] += jax.lax.dot(
+            w.astype(mat_dtype), g_k.astype(mat_dtype),
+            preferred_element_type=jnp.float32)
+        x_k = x_ref[:, k * F:(k + 1) * F]  # [Rt, F]
+        gw = jax.lax.dot_general(
+            x_k.astype(mat_dtype), g_k.astype(mat_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [Rt, Ct]
+        c = gw * w
+        for d in range(D):
+            st_ref[:, k * D + d] += jnp.sum(c * t_kd[d], axis=1)
+            st_ref[:, KD + k * D + d] += jnp.sum(
+                c * t_kd[d] * (p_d[d] - mu_ref[k, d]), axis=1)
+            dp[d] = dp[d] - c * t_kd[d] * isig_ref[k, d]
+    for d in range(D):
+        dpre = dp[d] * (1.0 - p_d[d] * p_d[d]) if use_tanh else dp[d]
+        st_ref[:, 2 * KD + d] += jnp.sum(dpre, axis=1)
+        for i in range(Dd):
+            df_i = z_ref[:, KF + i][None, :]  # [1, Ct] dst raw pseudo dim i
+            st_ref[:, 2 * KD + D + d * Dd + i] += jnp.sum(dpre * df_i, axis=1)
+
+
+def dense_gmm_bwd(alpha_r, beta_c, x_r, z_c, mask_bits, mu, isig, *,
+                  use_tanh: bool, Dd: int, Rt: int = 256, Ct: int = DENSE_CT,
+                  mat_dtype=jnp.bfloat16, interpret: bool = False):
+    """Dense-block GMM backward partials (see _gmm_bwd_kernel).
+
+    alpha_r: [R, D] source-side projection; beta_c: [C, D] dest-side;
+    x_r: [R, K*F] source features; z_c: [C, K*F + Dd] packed
+    [grad_out | dst raw pseudo]; mu/isig: [K, D].
+    Returns (dx [R, K*F], rowstats [R, 2KD + D + D*Dd]).
+    """
+    R, D = alpha_r.shape
+    C = beta_c.shape[0]
+    K = mu.shape[0]
+    KF = x_r.shape[-1]
+    F = KF // K
+    ns = 2 * K * D + D + D * Dd
+    kern = functools.partial(_gmm_bwd_kernel, K=K, D=D, Dd=Dd, F=F,
+                             use_tanh=bool(use_tanh), mat_dtype=mat_dtype)
+
+    def row_spec(w):
+        return pl.BlockSpec((Rt, w), lambda r, t: (r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def col_spec(w):
+        return pl.BlockSpec((Ct, w), lambda r, t: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kern,
+        grid=(R // Rt, C // Ct),
+        in_specs=[
+            row_spec(D),                                    # alpha (src rows)
+            col_spec(D),                                    # beta (dst cols)
+            row_spec(KF),                                   # x (src rows)
+            col_spec(KF + Dd),                              # z (dst cols)
+            pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
+                         memory_space=pltpu.VMEM),          # mask
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # mu
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # isig
+        ],
+        out_shape=[jax.ShapeDtypeStruct((R, KF), jnp.float32),
+                   jax.ShapeDtypeStruct((R, ns), jnp.float32)],
+        out_specs=[row_spec(KF), row_spec(ns)],
+        interpret=interpret,
+    )(alpha_r, beta_c, x_r, z_c, mask_bits, mu, isig)

@@ -90,6 +90,7 @@ def _stack_binned(per_shard: Sequence[_binning.BinnedCSR], num_rows: int,
         rows.append(jnp.asarray(np.stack(rb)))
         counts.append(jnp.asarray(np.stack(cb)))
     return BinnedAdj(nbr=tuple(nbrs), edge=tuple(edges), row=tuple(rows),
+                     dense=None,
                      count=tuple(counts), cmb=None, widths=widths,
                      num_rows=num_rows, num_edges=num_edges)
 

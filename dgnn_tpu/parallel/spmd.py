@@ -40,7 +40,7 @@ def merge_binned(a: BinnedAdj, b: BinnedAdj) -> BinnedAdj:
     edge partitions combine through the segment log-sum-exp merge)."""
     assert a.num_rows == b.num_rows
     return BinnedAdj(nbr=a.nbr + b.nbr, edge=a.edge + b.edge, row=a.row + b.row,
-                     count=a.count + b.count, cmb=None,
+                     count=a.count + b.count, cmb=None, dense=None,
                      widths=a.widths + b.widths, num_rows=a.num_rows,
                      num_edges=a.num_edges + b.num_edges)
 
@@ -145,8 +145,8 @@ class ShardedGATConv(nn.Module):
             seed = jnp.uint32(0)
         adj_fwd = merge_binned(local.fwd_local, local.fwd_halo)
         rst = _gat_fused(self.negative_slope, float(self.attn_drop),
-                         bool(training), adj_fwd, local.bwd, attn_row, ac_ext,
-                         feat_ext, seed)
+                         bool(training), "bfloat16", adj_fwd, local.bwd,
+                         attn_row, ac_ext, feat_ext, seed)
         if self.residual:
             res = x if feat.shape[-1] == h * f else nn.Dense(
                 h * f, use_bias=False, kernel_init=init, name="res_fc")(feat).reshape(-1, h, f)
