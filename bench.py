@@ -89,34 +89,38 @@ def _citation_graph(name, scale=1.0):
         n_full, e_full, din, ncls = CITATION_SHAPES["reddit"]
         n, e = int(n_full * scale), int(e_full * scale)
         os.makedirs(CACHE_DIR, exist_ok=True)
-        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_aw2.npz")
+        # cache key: binning/dense-format version
+        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_d1.npz")
         if os.path.exists(path):
             g = gcache.load_graph(path)
         else:
             src, dst = rmat_edges(n, e, seed=0)
-            g = structure.build_graph(src, dst, n)
+            g = structure.build_graph(src, dst, n, dense="auto",
+                                      edge_tables=False)
             gcache.save_graph(path, g)
         rng = np.random.default_rng(0)
         feat = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
         labels = jnp.asarray(rng.integers(0, ncls, n).astype(np.int32))
         return g, feat, labels, ncls
     data = load_citation_dataset(name, seed=0)
-    g = structure.build_graph(data.src, data.dst, data.num_nodes)
+    g = structure.build_graph(data.src, data.dst, data.num_nodes,
+                              dense="auto", edge_tables=False)
     return (g, jnp.asarray(data.features), jnp.asarray(data.labels),
             data.n_classes)
 
 
-def _pseudo_bins(graph):
+def _node_pseudo(graph):
+    """Reference citation protocol: pseudo = [1/sqrt(deg_u), 1/sqrt(deg_v)]
+    (train_gmmconv.py:120-122) as per-node scalars — derived in-pass by
+    gmm_aggregate_node, so no per-edge pseudo is ever materialized."""
     import jax
     import jax.numpy as jnp
 
-    from dgnn_tpu.ops.gmm import bin_pseudo
+    from dgnn_tpu.ops.gmm import NodePseudo
 
     deg = jnp.maximum(graph.in_degrees().astype(jnp.float32), 1.0)
-    rsq = jax.lax.rsqrt(deg)
-    row = jnp.repeat(jnp.arange(graph.num_nodes), jnp.diff(graph.row_ptr),
-                     total_repeat_length=graph.num_edges)
-    return bin_pseudo(graph, jnp.stack([rsq[graph.col_ind], rsq[row]], 1))
+    rsq = jax.lax.rsqrt(deg)[:, None]
+    return NodePseudo(src=rsq, dst=rsq)
 
 
 def bench_gat(dataset, scale, epochs, infer=False):
@@ -173,11 +177,10 @@ def bench_gmm(dataset, scale, epochs, n_kernels):
     import optax
 
     from dgnn_tpu.models import MoNet
-    from dgnn_tpu.ops.gmm import bin_pseudo
     from dgnn_tpu.utils import time_epoch_loop
 
     graph, feat, labels, ncls = _citation_graph(dataset, scale)
-    pseudo = _pseudo_bins(graph)
+    pseudo = _node_pseudo(graph)
     graph = graph.slim()  # bins only on device
 
     model = MoNet(n_hidden=64, out_feats=ncls, n_layers=1, dim=2,
@@ -333,8 +336,10 @@ def main():
         if single or (only and len(only) == 1):
             try:
                 dt = fn()
-                from dgnn_tpu.utils.timing import device_peak_memory_mb
-                peak_mb = round(device_peak_memory_mb(), 1)
+                from dgnn_tpu.utils import timing
+                peak_mb = round(timing.device_peak_memory_mb(), 1)
+                if peak_mb < 0:  # backend exposes no runtime stats: use the
+                    peak_mb = timing.LAST_MEMORY_MB["value"]  # static analysis
             except Exception as ex:
                 log(f"# {name}: FAILED {type(ex).__name__}: {ex}")
                 details[name] = {"error": str(ex)[:500]}

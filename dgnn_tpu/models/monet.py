@@ -15,7 +15,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..graph.structure import Graph
-from ..ops.gmm import gmm_aggregate, gmm_aggregate_binned
+from ..ops.gmm import (NodePseudo, gmm_aggregate, gmm_aggregate_binned,
+                       gmm_aggregate_node)
 from .gat import xavier_normal
 
 
@@ -44,7 +45,15 @@ class GMMConv(nn.Module):
         node_feat = node_feat.reshape(-1, k, f)
         mu = self.param("mu", nn.initializers.normal(0.1), (k, self.dim))
         inv_sigma = self.param("inv_sigma", nn.initializers.ones, (k, self.dim))
-        if isinstance(pseudo, tuple):
+        if isinstance(pseudo, NodePseudo):
+            din = pseudo.src.shape[-1] + pseudo.dst.shape[-1]
+            pw = self.param("pseudo_w", nn.initializers.lecun_normal(),
+                            (din, self.dim))
+            pb = self.param("pseudo_b", nn.initializers.zeros, (self.dim,))
+            rst = gmm_aggregate_node(graph, node_feat, pseudo.src, pseudo.dst,
+                                     mu, inv_sigma, proj_weight=pw,
+                                     proj_bias=pb, use_tanh=True)
+        elif isinstance(pseudo, tuple):
             if self.pseudo_proj:
                 din = pseudo[0][0].shape[-1]
                 pw = self.param("pseudo_w", nn.initializers.lecun_normal(),
@@ -85,12 +94,20 @@ class MoNet(nn.Module):
     @nn.compact
     def __call__(self, graph: Graph, feat, pseudo, *, training: bool = False):
         dims = [self.n_hidden] * self.n_layers + [self.out_feats]
-        binned = isinstance(pseudo, tuple)
+        node_mode = isinstance(pseudo, NodePseudo)
+        binned = isinstance(pseudo, tuple) and not node_mode
         h = feat
         for i, out in enumerate(dims):
             if i != 0 and self.dropout > 0.0:
                 h = nn.Dropout(self.dropout)(h, deterministic=not training)
-            if binned:
+            if node_mode:
+                # node-derived pseudo: projection + Gaussian + SpMM all
+                # inside the fused op; enables the dense hub-block path
+                h = GMMConv(out_feats=out, dim=self.dim,
+                            n_kernels=self.n_kernels,
+                            name=f"gmm_{i}")(graph, h, pseudo,
+                                             training=training)
+            elif binned:
                 # fast path: raw tables stream through the fused op; the
                 # per-layer Linear+tanh projection runs inside it
                 h = GMMConv(out_feats=out, dim=self.dim,

@@ -340,11 +340,14 @@ def _gat_fused_bwd(slope, p, training, dense_dtype, res, g_out):
         db = adj_bwd.dense
         H = ar.shape[-1]
         F = feat.shape[-1]
-        # rows = sources, cols = destinations of the transposed block
+        HF = H * F
+        # rows = sources, cols = destinations of the transposed block; one
+        # [C]-row gather of the packed z rows, split into g / stats blocks
+        zc = zcat[db.col_ids]
         dxp, dacp = dense_gat_bwd(
-            ac[db.row_ids], feat.reshape(-1, H * F)[db.row_ids],
-            zcat[db.col_ids], db.mask, slope=slope, H=H,
-            mat_dtype=_dense_dt(dense_dtype), interpret=_interpret())
+            ac[db.row_ids], feat.reshape(-1, HF)[db.row_ids],
+            zc[:, :HF], zc[:, HF:].astype(jnp.float32), db.mask, slope=slope,
+            H=H, mat_dtype=_dense_dt(dense_dtype), interpret=_interpret())
         dx_parts.append(dxp.reshape(-1, H, F))
         dac_parts.append(dacp)
     if adj_bwd.cmb is not None:

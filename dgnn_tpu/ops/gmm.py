@@ -41,6 +41,7 @@ not replicate).
 from __future__ import annotations
 
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +51,7 @@ from .common import (chunk_rows_for_budget, combine_sum, float0_like,
                      lane_mask, scan_chunked)
 
 __all__ = ["gmm_aggregate", "gmm_aggregate_binned", "gmm_aggregate_node",
-           "gaussian_weights", "bin_edge_data"]
+           "NodePseudo", "gaussian_weights", "bin_edge_data"]
 
 
 def gaussian_weights(pseudo, mu, inv_sigma):
@@ -371,6 +372,16 @@ def gmm_aggregate(graph: Graph, feat, pseudo, mu, inv_sigma):
 # (ops/pallas_dense.py).  All parameter gradients are in-pass global sums.
 
 
+class NodePseudo(typing.NamedTuple):
+    """Per-node pseudo-coordinate sources for ``gmm_aggregate_node``:
+    pseudo[e=(u -> v)] = concat(src[u], dst[v]).  For the reference's
+    citation protocol both are rsqrt(in/out degree) [N, 1]
+    (train_gmmconv.py:120-122)."""
+
+    src: jax.Array  # [N, Ds]
+    dst: jax.Array  # [N, Dd]
+
+
 def _interp():
     return jax.default_backend() != "tpu"
 
@@ -508,12 +519,12 @@ def _node_bwd(adj_bwd: BinnedAdj, alpha, beta, sfeat, dfeat, feat, mu, isig,
 
         db = adj_bwd.dense
         KD = K * D
-        zc = zcat[db.col_ids]  # one [C]-row gather; kernel wants [g | dfeat]
-        z_k = jnp.concatenate([zc[:, :KF], zc[:, KF + D:]], axis=1)
+        zc = zcat[db.col_ids]  # ONE [C]-row gather, split into narrow blocks
         dx_p, st = dense_gmm_bwd(
             alpha[db.row_ids], zc[:, KF:KF + D].astype(jnp.float32),
-            feat.reshape(-1, KF)[db.row_ids], z_k,
-            db.mask, mu, isig, use_tanh=use_tanh, Dd=Dd,
+            feat.reshape(-1, KF)[db.row_ids], zc[:, :KF],
+            zc[:, KF + D:].astype(jnp.float32),
+            db.mask, mu, isig, use_tanh=use_tanh,
             mat_dtype=_dense_dt(dense_dtype), interpret=_interp())
         dxs.append(dx_p.reshape(-1, K, F))
         valid = (jnp.arange(db.row_ids.shape[0]) < db.num_rows)[:, None]

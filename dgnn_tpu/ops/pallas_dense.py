@@ -147,12 +147,14 @@ def dense_gat_fwd(ar_d, ac_d, x_d, mask_bits, *, slope: float,
     )(ar_d, ac_d, x_d, mask_bits)
 
 
-def _gat_bwd_kernel(ac_ref, x_ref, z_ref, mb_ref,
+def _gat_bwd_kernel(ac_ref, x_ref, g_ref, st_ref, mb_ref,
                     dx_ref, dac_ref, *, H, F, slope, mat_dtype):
     """Dense-block half of GAT pass B (transposed layout).
 
     Rows = source nodes of the block, cols = destination nodes.
-    z_ref packs per-destination [g | ar | M | L | ws]: [Ct, H*F + 4H].
+    g_ref: [Ct, H*F] grad_out of the destinations; st_ref: [Ct, 4H] packed
+    per-destination scalars [ar | M | L | ws] (a separate narrow block —
+    scalar-column reads from wide VMEM blocks hang the Mosaic compiler).
       dx[r]  += sum_c a_rc g_c          (a from recomputed softmax)
       dac[r] += sum_c (a ge - a ws_c) * leaky'(s_raw)
     with ge_rc = <x_r, g_c> per head (MXU), s_raw = ar_c + ac_r.
@@ -167,13 +169,12 @@ def _gat_bwd_kernel(ac_ref, x_ref, z_ref, mb_ref,
         dac_ref[:] = jnp.zeros_like(dac_ref)
 
     mask = unpack_mask(mb_ref[:]) > 0
-    HF = H * F
     for h in range(H):
-        g_h = z_ref[:, h * F:(h + 1) * F]          # [Ct, F]
-        ar_c = z_ref[:, HF + h][None, :]           # [1, Ct]
-        M_c = z_ref[:, HF + H + h][None, :]
-        L_c = z_ref[:, HF + 2 * H + h][None, :]
-        ws_c = z_ref[:, HF + 3 * H + h][None, :]
+        g_h = g_ref[:, h * F:(h + 1) * F]          # [Ct, F]
+        ar_c = st_ref[:, h][None, :]               # [1, Ct]
+        M_c = st_ref[:, H + h][None, :]
+        L_c = st_ref[:, 2 * H + h][None, :]
+        ws_c = st_ref[:, 3 * H + h][None, :]
         ac_r = ac_ref[:, h][:, None]               # [Rt, 1]
         s_raw = ar_c + ac_r                        # [Rt, Ct]
         s = jnp.where(s_raw >= 0, s_raw, s_raw * slope)
@@ -192,18 +193,19 @@ def _gat_bwd_kernel(ac_ref, x_ref, z_ref, mb_ref,
         dac_ref[:, h] += jnp.sum(jnp.where(mask, u, 0.0), axis=1)
 
 
-def dense_gat_bwd(ac_d, x_d, z_d, mask_bits, *, slope: float, H: int,
+def dense_gat_bwd(ac_d, x_d, g_d, st_d, mask_bits, *, slope: float, H: int,
                   Rt: int = 256, Ct: int = DENSE_CT,
                   mat_dtype=jnp.bfloat16, interpret: bool = False):
     """Dense-block dX / d attn_col partials over the transposed block.
 
     ac_d: [R, H] attn_col of source rows; x_d: [R, H*F] source features;
-    z_d: [C, H*F + 4H] packed per-destination [g | ar | M | L | ws];
+    g_d: [C, H*F] grad_out per destination; st_d: [C, 4H] packed
+    per-destination scalars [ar | M | L | ws];
     mask_bits: [R, C//8] uint8 (transposed-block adjacency, bit-plane).
     Returns (dx [R, H*F], dac [R, H]).
     """
     R = ac_d.shape[0]
-    C = z_d.shape[0]
+    C = g_d.shape[0]
     HF = x_d.shape[-1]
     F = HF // H
     assert R % Rt == 0 and C % Ct == 0, (R, C, Rt, Ct)
@@ -224,7 +226,8 @@ def dense_gat_bwd(ac_d, x_d, z_d, mask_bits, *, slope: float, H: int,
         in_specs=[
             row_spec(H),                                    # ac
             row_spec(HF),                                   # x
-            col_spec(HF + 4 * H),                           # z
+            col_spec(HF),                                   # g
+            col_spec(4 * H),                                # stats
             pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
                          memory_space=pltpu.VMEM),          # mask bits
         ],
@@ -232,7 +235,7 @@ def dense_gat_bwd(ac_d, x_d, z_d, mask_bits, *, slope: float, H: int,
                    jax.ShapeDtypeStruct((R, H), jnp.float32)],
         out_specs=[row_spec(HF), row_spec(H)],
         interpret=interpret,
-    )(ac_d, x_d, z_d, mask_bits)
+    )(ac_d, x_d, g_d, st_d, mask_bits)
 
 
 # ---------------------------------------------------------------------------
@@ -316,12 +319,13 @@ def dense_gmm_fwd(beta_r, alpha_c, x_c, mask_bits, mu, isig, *,
     )(beta_r, alpha_c, x_c, mask_bits, mu, isig)
 
 
-def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, z_ref, mb_ref, mu_ref,
-                    isig_ref, dx_ref, st_ref, *, K, D, Dd, F, use_tanh,
-                    mat_dtype):
+def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, g_ref, df_ref, mb_ref,
+                    mu_ref, isig_ref, dx_ref, st_ref, *, K, D, Dd, F,
+                    use_tanh, mat_dtype):
     """Transposed-block GMM backward: rows = sources, cols = destinations.
 
-    z_ref: [Ct, K*F + Dd] = [grad_out | dfeat(dst-side raw pseudo)].
+    g_ref: [Ct, K*F] grad_out; df_ref: [Ct, Dd] dst-side raw pseudo (narrow
+    separate block — scalar-column reads from wide VMEM blocks hang Mosaic).
     st_ref row-stat layout (per source row, summed over its dense edges):
       [0:KD)        sum c_k t_kd                  (-> dmu via * isig)
       [KD:2KD)      sum c_k t_kd (p_d - mu_kd)    (-> disg via * -1)
@@ -338,11 +342,9 @@ def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, z_ref, mb_ref, mu_ref,
         st_ref[:] = jnp.zeros_like(st_ref)
 
     mask = unpack_mask(mb_ref[:]) > 0
-    KF = K * F
-    p_d, pre_d = [], []
+    p_d = []
     for d in range(D):
         pre = alpha_ref[:, d][:, None] + beta_ref[:, d][None, :]  # [Rt, Ct]
-        pre_d.append(pre)
         p_d.append(jnp.tanh(pre) if use_tanh else pre)
     dp = [0.0] * D
     for k in range(K):
@@ -353,7 +355,7 @@ def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, z_ref, mb_ref, mu_ref,
             t_kd.append(tt)
             q = q + tt * tt
         w = jnp.where(mask, jnp.exp(-0.5 * q), 0.0)
-        g_k = z_ref[:, k * F:(k + 1) * F]  # [Ct, F]
+        g_k = g_ref[:, k * F:(k + 1) * F]  # [Ct, F]
         dx_ref[:, k * F:(k + 1) * F] += jax.lax.dot(
             w.astype(mat_dtype), g_k.astype(mat_dtype),
             preferred_element_type=jnp.float32)
@@ -372,18 +374,18 @@ def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, z_ref, mb_ref, mu_ref,
         dpre = dp[d] * (1.0 - p_d[d] * p_d[d]) if use_tanh else dp[d]
         st_ref[:, 2 * KD + d] += jnp.sum(dpre, axis=1)
         for i in range(Dd):
-            df_i = z_ref[:, KF + i][None, :]  # [1, Ct] dst raw pseudo dim i
+            df_i = df_ref[:, i][None, :]  # [1, Ct] dst raw pseudo dim i
             st_ref[:, 2 * KD + D + d * Dd + i] += jnp.sum(dpre * df_i, axis=1)
 
 
-def dense_gmm_bwd(alpha_r, beta_c, x_r, z_c, mask_bits, mu, isig, *,
-                  use_tanh: bool, Dd: int, Rt: int = 256, Ct: int = DENSE_CT,
+def dense_gmm_bwd(alpha_r, beta_c, x_r, g_c, df_c, mask_bits, mu, isig, *,
+                  use_tanh: bool, Rt: int = 256, Ct: int = DENSE_CT,
                   mat_dtype=jnp.bfloat16, interpret: bool = False):
     """Dense-block GMM backward partials (see _gmm_bwd_kernel).
 
     alpha_r: [R, D] source-side projection; beta_c: [C, D] dest-side;
-    x_r: [R, K*F] source features; z_c: [C, K*F + Dd] packed
-    [grad_out | dst raw pseudo]; mu/isig: [K, D].
+    x_r: [R, K*F] source features; g_c: [C, K*F] grad_out;
+    df_c: [C, Dd] dst-side raw pseudo; mu/isig: [K, D].
     Returns (dx [R, K*F], rowstats [R, 2KD + D + D*Dd]).
     """
     R, D = alpha_r.shape
@@ -391,6 +393,7 @@ def dense_gmm_bwd(alpha_r, beta_c, x_r, z_c, mask_bits, mu, isig, *,
     K = mu.shape[0]
     KF = x_r.shape[-1]
     F = KF // K
+    Dd = df_c.shape[-1]
     ns = 2 * K * D + D + D * Dd
     kern = functools.partial(_gmm_bwd_kernel, K=K, D=D, Dd=Dd, F=F,
                              use_tanh=bool(use_tanh), mat_dtype=mat_dtype)
@@ -410,7 +413,8 @@ def dense_gmm_bwd(alpha_r, beta_c, x_r, z_c, mask_bits, mu, isig, *,
             row_spec(D),                                    # alpha (src rows)
             col_spec(D),                                    # beta (dst cols)
             row_spec(KF),                                   # x (src rows)
-            col_spec(KF + Dd),                              # z (dst cols)
+            col_spec(KF),                                   # g (dst cols)
+            col_spec(Dd),                                   # dfeat (dst cols)
             pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
                          memory_space=pltpu.VMEM),          # mask
             pl.BlockSpec(memory_space=pltpu.SMEM),          # mu
@@ -420,4 +424,4 @@ def dense_gmm_bwd(alpha_r, beta_c, x_r, z_c, mask_bits, mu, isig, *,
                    jax.ShapeDtypeStruct((R, ns), jnp.float32)],
         out_specs=[row_spec(KF), row_spec(ns)],
         interpret=interpret,
-    )(alpha_r, beta_c, x_r, z_c, mask_bits, mu, isig)
+    )(alpha_r, beta_c, x_r, g_c, df_c, mask_bits, mu, isig)

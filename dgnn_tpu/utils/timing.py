@@ -16,9 +16,18 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Timer", "time_fn", "time_epoch_loop", "device_peak_memory_mb"]
+__all__ = ["Timer", "time_fn", "time_epoch_loop", "device_peak_memory_mb",
+           "LAST_MEMORY_MB"]
+
+# Static peak-memory estimate (MB) of the last time_epoch_loop executable,
+# from XLA's compiled memory analysis (argument + temp + output - aliased).
+# The axon backend exposes no runtime memory_stats(), so this is the
+# benchmark's memory record (reference analogue: GPUtil max MB sampling,
+# train_gatconv.py:134-135).
+LAST_MEMORY_MB = {"value": None}
 
 
 def fetch_scalar(tree):
@@ -67,12 +76,21 @@ def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
 
     runner = jax.jit(runner_fn)
 
-    state = runner((carry, key), warmup, consts)
+    try:
+        ma = runner.lower((carry, key), jnp.int32(0), consts)\
+                   .compile().memory_analysis()
+        peak = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+        LAST_MEMORY_MB["value"] = round(peak / (1024 * 1024), 1)
+    except Exception:
+        LAST_MEMORY_MB["value"] = None
+
+    state = runner((carry, key), jnp.int32(warmup), consts)
     fetch_scalar(state[0])
 
     def run(n):
         t0 = time.perf_counter()
-        out = runner(state, n, consts)
+        out = runner(state, jnp.int32(n), consts)
         fetch_scalar(out[0])
         return time.perf_counter() - t0, out
 
