@@ -346,7 +346,7 @@ def _gat_fused_bwd(slope, p, training, dense_dtype, res, g_out):
         zc = zcat[db.col_ids]
         dxp, dacp = dense_gat_bwd(
             ac[db.row_ids], feat.reshape(-1, HF)[db.row_ids],
-            zc[:, :HF], zc[:, HF:].astype(jnp.float32), db.mask, slope=slope,
+            zc[:, :HF], zc[:, HF:], db.mask, slope=slope,
             H=H, mat_dtype=_dense_dt(dense_dtype), interpret=_interpret())
         dx_parts.append(dxp.reshape(-1, H, F))
         dac_parts.append(dacp)

@@ -54,6 +54,10 @@ def unpack_mask(bits_u8):
 def _gat_fwd_kernel(ar_ref, ac_ref, x_ref, mb_ref,
                     m_ref, l_ref, lp_ref, acc_ref, accp_ref,
                     *, H, F, slope, with_pos, mat_dtype):
+    # NOTE per-COLUMN scalars (ac) arrive TRANSPOSED as [H, C] and are read
+    # by ROW: building [1, Ct] lane vectors from column reads of a [Ct, H]
+    # block sends the Mosaic layout search into the weeds (hours-long or
+    # non-terminating compiles once several such reads appear).
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -68,7 +72,7 @@ def _gat_fwd_kernel(ar_ref, ac_ref, x_ref, mb_ref,
     mask = unpack_mask(mb_ref[:]) > 0  # [Rt, Ct] bool
     for h in range(H):
         ar_h = ar_ref[:, h][:, None]  # [Rt, 1]
-        ac_h = ac_ref[:, h][None, :]  # [1, Ct]
+        ac_h = ac_ref[h, :][None, :]  # [1, Ct] (row read of [H, C])
         s = ar_h + ac_h
         s = jnp.where(s >= 0, s, s * slope)
         s = jnp.where(mask, s, NEG)
@@ -112,6 +116,7 @@ def dense_gat_fwd(ar_d, ac_d, x_d, mask_bits, *, slope: float,
     F = HF // H
     assert R % Rt == 0 and C % Ct == 0 and Ct % 8 == 0, (R, C, Rt, Ct)
     n_rt, n_ct = R // Rt, C // Ct
+    ac_t = ac_d.T  # [H, C]: see kernel note on column reads
     kern = functools.partial(_gat_fwd_kernel, H=H, F=F, slope=float(slope),
                              with_pos=with_pos, mat_dtype=mat_dtype)
 
@@ -135,7 +140,8 @@ def dense_gat_fwd(ar_d, ac_d, x_d, mask_bits, *, slope: float,
         grid=(n_rt, n_ct),
         in_specs=[
             row_spec(H),                                   # ar
-            col_spec(H),                                   # ac
+            pl.BlockSpec((H, Ct), lambda r, t: (0, t),
+                         memory_space=pltpu.VMEM),         # ac^T
             col_spec(HF),                                  # x
             pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
                          memory_space=pltpu.VMEM),         # mask bits
@@ -144,17 +150,19 @@ def dense_gat_fwd(ar_d, ac_d, x_d, mask_bits, *, slope: float,
         out_specs=[row_spec(H), row_spec(H), row_spec(H), row_spec(HF),
                    row_spec(HF)],
         interpret=interpret,
-    )(ar_d, ac_d, x_d, mask_bits)
+    )(ar_d, ac_t, x_d, mask_bits)
 
 
-def _gat_bwd_kernel(ac_ref, x_ref, g_ref, st_ref, mb_ref,
-                    dx_ref, dac_ref, *, H, F, slope, mat_dtype):
+def _gat_bwd_kernel(ac_ref, x_ref, g_ref, gt_ref, st_ref,
+                    mb_ref, dx_ref, dac_ref, *, H, F, slope,
+                    mat_dtype):
     """Dense-block half of GAT pass B (transposed layout).
 
     Rows = source nodes of the block, cols = destination nodes.
-    g_ref: [Ct, H*F] grad_out of the destinations; st_ref: [Ct, 4H] packed
-    per-destination scalars [ar | M | L | ws] (a separate narrow block —
-    scalar-column reads from wide VMEM blocks hang the Mosaic compiler).
+    g_ref: [Ct, H*F] grad_out of the destinations; st_ref: [4H, Ct] — the
+    per-destination scalars [ar | M | L | ws] TRANSPOSED so every per-head
+    scalar vector is a ROW read (column reads that broadcast to [1, Ct]
+    lane vectors make the Mosaic compile non-terminating; see fwd kernel).
       dx[r]  += sum_c a_rc g_c          (a from recomputed softmax)
       dac[r] += sum_c (a ge - a ws_c) * leaky'(s_raw)
     with ge_rc = <x_r, g_c> per head (MXU), s_raw = ar_c + ac_r.
@@ -171,10 +179,10 @@ def _gat_bwd_kernel(ac_ref, x_ref, g_ref, st_ref, mb_ref,
     mask = unpack_mask(mb_ref[:]) > 0
     for h in range(H):
         g_h = g_ref[:, h * F:(h + 1) * F]          # [Ct, F]
-        ar_c = st_ref[:, h][None, :]               # [1, Ct]
-        M_c = st_ref[:, H + h][None, :]
-        L_c = st_ref[:, 2 * H + h][None, :]
-        ws_c = st_ref[:, 3 * H + h][None, :]
+        ar_c = st_ref[h, :][None, :]               # [1, Ct] (row reads)
+        M_c = st_ref[H + h, :][None, :]
+        L_c = st_ref[2 * H + h, :][None, :]
+        ws_c = st_ref[3 * H + h, :][None, :]
         ac_r = ac_ref[:, h][:, None]               # [Rt, 1]
         s_raw = ar_c + ac_r                        # [Rt, Ct]
         s = jnp.where(s_raw >= 0, s_raw, s_raw * slope)
@@ -184,23 +192,24 @@ def _gat_bwd_kernel(ac_ref, x_ref, g_ref, st_ref, mb_ref,
             a.astype(mat_dtype), g_h.astype(mat_dtype),
             preferred_element_type=jnp.float32)
         x_h = x_ref[:, h * F:(h + 1) * F]          # [Rt, F]
-        ge = jax.lax.dot_general(
-            x_h.astype(mat_dtype), g_h.astype(mat_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+        # ge = <x_r, g_c> via a NORMAL matmul against the pre-transposed
+        # grad block (a contracted-on-dim-1 dot_general hangs Mosaic)
+        ge = jax.lax.dot(
+            x_h.astype(mat_dtype), gt_ref[h * F:(h + 1) * F, :],
             preferred_element_type=jnp.float32)    # [Rt, Ct]
         dprime = jnp.where(s_raw >= 0, 1.0, slope)
         u = a * (ge - ws_c) * dprime
         dac_ref[:, h] += jnp.sum(jnp.where(mask, u, 0.0), axis=1)
 
 
-def dense_gat_bwd(ac_d, x_d, g_d, st_d, mask_bits, *, slope: float, H: int,
-                  Rt: int = 256, Ct: int = DENSE_CT,
+def dense_gat_bwd(ac_d, x_d, g_d, st_d, mask_bits, *,
+                  slope: float, H: int, Rt: int = 256, Ct: int = DENSE_CT,
                   mat_dtype=jnp.bfloat16, interpret: bool = False):
     """Dense-block dX / d attn_col partials over the transposed block.
 
     ac_d: [R, H] attn_col of source rows; x_d: [R, H*F] source features;
     g_d: [C, H*F] grad_out per destination; st_d: [C, 4H] packed
-    per-destination scalars [ar | M | L | ws];
+    per-destination softmax scalars [ar | M | L | ws];
     mask_bits: [R, C//8] uint8 (transposed-block adjacency, bit-plane).
     Returns (dx [R, H*F], dac [R, H]).
     """
@@ -209,6 +218,8 @@ def dense_gat_bwd(ac_d, x_d, g_d, st_d, mask_bits, *, slope: float, H: int,
     HF = x_d.shape[-1]
     F = HF // H
     assert R % Rt == 0 and C % Ct == 0, (R, C, Rt, Ct)
+    g_t = g_d.T.astype(mat_dtype)  # [HF, C] once per pass (see kernel note)
+    st_t = st_d.T.astype(jnp.float32)  # [4H, C] (see kernel note)
     kern = functools.partial(_gat_bwd_kernel, H=H, F=F, slope=float(slope),
                              mat_dtype=mat_dtype)
 
@@ -227,7 +238,10 @@ def dense_gat_bwd(ac_d, x_d, g_d, st_d, mask_bits, *, slope: float, H: int,
             row_spec(H),                                    # ac
             row_spec(HF),                                   # x
             col_spec(HF),                                   # g
-            col_spec(4 * H),                                # stats
+            pl.BlockSpec((HF, Ct), lambda r, t: (0, t),
+                         memory_space=pltpu.VMEM),          # g^T
+            pl.BlockSpec((4 * H, Ct), lambda r, t: (0, t),
+                         memory_space=pltpu.VMEM),          # stats^T
             pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
                          memory_space=pltpu.VMEM),          # mask bits
         ],
@@ -235,7 +249,7 @@ def dense_gat_bwd(ac_d, x_d, g_d, st_d, mask_bits, *, slope: float, H: int,
                    jax.ShapeDtypeStruct((R, H), jnp.float32)],
         out_specs=[row_spec(HF), row_spec(H)],
         interpret=interpret,
-    )(ac_d, x_d, g_d, st_d, mask_bits)
+    )(ac_d, x_d, g_d, g_t, st_t, mask_bits)
 
 
 # ---------------------------------------------------------------------------
@@ -261,7 +275,8 @@ def _gmm_fwd_kernel(beta_ref, alpha_ref, x_ref, mb_ref, mu_ref, isig_ref,
     mask = unpack_mask(mb_ref[:]) > 0
     p_d = []
     for d in range(D):
-        pre = beta_ref[:, d][:, None] + alpha_ref[:, d][None, :]  # [Rt, Ct]
+        # alpha arrives transposed [D, C]: row reads only (see GAT kernels)
+        pre = beta_ref[:, d][:, None] + alpha_ref[d, :][None, :]  # [Rt, Ct]
         p_d.append(jnp.tanh(pre) if use_tanh else pre)
     for k in range(K):
         q = 0.0
@@ -290,6 +305,7 @@ def dense_gmm_fwd(beta_r, alpha_c, x_c, mask_bits, mu, isig, *,
     K = mu.shape[0]
     F = KF // K
     assert R % Rt == 0 and C % Ct == 0
+    alpha_t = alpha_c.T.astype(jnp.float32)  # [D, C]
     kern = functools.partial(_gmm_fwd_kernel, K=K, D=D, F=F,
                              use_tanh=bool(use_tanh), mat_dtype=mat_dtype)
 
@@ -306,7 +322,8 @@ def dense_gmm_fwd(beta_r, alpha_c, x_c, mask_bits, mu, isig, *,
         grid=(R // Rt, C // Ct),
         in_specs=[
             row_spec(D),                                    # beta (dst rows)
-            col_spec(D),                                    # alpha (src cols)
+            pl.BlockSpec((D, Ct), lambda r, t: (0, t),
+                         memory_space=pltpu.VMEM),          # alpha^T
             col_spec(KF),                                   # x
             pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
                          memory_space=pltpu.VMEM),          # mask
@@ -316,11 +333,11 @@ def dense_gmm_fwd(beta_r, alpha_c, x_c, mask_bits, mu, isig, *,
         out_shape=jax.ShapeDtypeStruct((R, KF), jnp.float32),
         out_specs=row_spec(KF),
         interpret=interpret,
-    )(beta_r, alpha_c, x_c, mask_bits, mu, isig)
+    )(beta_r, alpha_t, x_c, mask_bits, mu, isig)
 
 
-def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, g_ref, df_ref, mb_ref,
-                    mu_ref, isig_ref, dx_ref, st_ref, *, K, D, Dd, F,
+def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, g_ref, gt_ref, df_ref,
+                    mb_ref, mu_ref, isig_ref, dx_ref, st_ref, *, K, D, Dd, F,
                     use_tanh, mat_dtype):
     """Transposed-block GMM backward: rows = sources, cols = destinations.
 
@@ -344,7 +361,8 @@ def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, g_ref, df_ref, mb_ref,
     mask = unpack_mask(mb_ref[:]) > 0
     p_d = []
     for d in range(D):
-        pre = alpha_ref[:, d][:, None] + beta_ref[:, d][None, :]  # [Rt, Ct]
+        # beta arrives transposed [D, C]: row reads only (see GAT kernels)
+        pre = alpha_ref[:, d][:, None] + beta_ref[d, :][None, :]  # [Rt, Ct]
         p_d.append(jnp.tanh(pre) if use_tanh else pre)
     dp = [0.0] * D
     for k in range(K):
@@ -360,9 +378,10 @@ def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, g_ref, df_ref, mb_ref,
             w.astype(mat_dtype), g_k.astype(mat_dtype),
             preferred_element_type=jnp.float32)
         x_k = x_ref[:, k * F:(k + 1) * F]  # [Rt, F]
-        gw = jax.lax.dot_general(
-            x_k.astype(mat_dtype), g_k.astype(mat_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+        # <x_r, g_c> via the pre-transposed grad block (dot_general with a
+        # dim-1 contraction hangs Mosaic)
+        gw = jax.lax.dot(
+            x_k.astype(mat_dtype), gt_ref[k * F:(k + 1) * F, :],
             preferred_element_type=jnp.float32)  # [Rt, Ct]
         c = gw * w
         for d in range(D):
@@ -374,7 +393,7 @@ def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, g_ref, df_ref, mb_ref,
         dpre = dp[d] * (1.0 - p_d[d] * p_d[d]) if use_tanh else dp[d]
         st_ref[:, 2 * KD + d] += jnp.sum(dpre, axis=1)
         for i in range(Dd):
-            df_i = df_ref[:, i][None, :]  # [1, Ct] dst raw pseudo dim i
+            df_i = df_ref[i, :][None, :]  # [1, Ct] (row read of [Dd, C])
             st_ref[:, 2 * KD + D + d * Dd + i] += jnp.sum(dpre * df_i, axis=1)
 
 
@@ -395,6 +414,9 @@ def dense_gmm_bwd(alpha_r, beta_c, x_r, g_c, df_c, mask_bits, mu, isig, *,
     F = KF // K
     Dd = df_c.shape[-1]
     ns = 2 * K * D + D + D * Dd
+    g_t = g_c.T.astype(mat_dtype)  # [KF, C] once per pass (see kernel note)
+    beta_t = beta_c.T.astype(jnp.float32)  # [D, C]
+    df_t = df_c.T.astype(jnp.float32)  # [Dd, C]
     kern = functools.partial(_gmm_bwd_kernel, K=K, D=D, Dd=Dd, F=F,
                              use_tanh=bool(use_tanh), mat_dtype=mat_dtype)
 
@@ -411,10 +433,14 @@ def dense_gmm_bwd(alpha_r, beta_c, x_r, g_c, df_c, mask_bits, mu, isig, *,
         grid=(R // Rt, C // Ct),
         in_specs=[
             row_spec(D),                                    # alpha (src rows)
-            col_spec(D),                                    # beta (dst cols)
+            pl.BlockSpec((D, Ct), lambda r, t: (0, t),
+                         memory_space=pltpu.VMEM),          # beta^T
             row_spec(KF),                                   # x (src rows)
             col_spec(KF),                                   # g (dst cols)
-            col_spec(Dd),                                   # dfeat (dst cols)
+            pl.BlockSpec((KF, Ct), lambda r, t: (0, t),
+                         memory_space=pltpu.VMEM),          # g^T
+            pl.BlockSpec((Dd, Ct), lambda r, t: (0, t),
+                         memory_space=pltpu.VMEM),          # dfeat^T
             pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
                          memory_space=pltpu.VMEM),          # mask
             pl.BlockSpec(memory_space=pltpu.SMEM),          # mu
@@ -424,4 +450,4 @@ def dense_gmm_bwd(alpha_r, beta_c, x_r, g_c, df_c, mask_bits, mu, isig, *,
                    jax.ShapeDtypeStruct((R, ns), jnp.float32)],
         out_specs=[row_spec(KF), row_spec(ns)],
         interpret=interpret,
-    )(alpha_r, beta_c, x_r, g_c, df_c, mask_bits, mu, isig)
+    )(alpha_r, beta_t, x_r, g_c, g_t, df_t, mask_bits, mu, isig)

@@ -126,45 +126,43 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
     owner_dst = csr_row // c
     owner_src = col_ind.astype(np.int64) // c
 
-    # ---- halo plan: for each (p consumer, q producer) the sorted unique
-    # remote sources p needs from q
-    need = {}
-    h_max = 1
-    for p in range(num_shards):
-        for q in range(num_shards):
-            if p == q:
-                continue
-            sel = (owner_dst == p) & (owner_src == q)
-            ids = np.unique(col_ind[sel].astype(np.int64))
-            need[(p, q)] = ids
-            h_max = max(h_max, len(ids))
+    # ---- halo plan (fully vectorized: one sort over the cross-shard edges,
+    # not an O(P^2) pair loop with per-pair full-edge scans)
+    s = num_shards
+    npad = s * c
+    cross = owner_dst != owner_src
+    key = owner_dst * s + owner_src  # [E] (consumer, producer) pair id
+    combo = key.astype(np.int64) * npad + col_ind.astype(np.int64)
+    uniq = np.unique(combo[cross])  # sorted: pair-major, then source id
+    ukey = uniq // npad
+    usrc = uniq % npad
+    pair_start = np.searchsorted(ukey, np.arange(s * s + 1))
+    pair_cnt = np.diff(pair_start)
+    h_max = max(int(pair_cnt.max(initial=0)), 1)
 
-    send_ids = np.zeros((num_shards, num_shards, h_max), np.int32)
-    for (p, q), ids in need.items():
-        send_ids[q, p, : len(ids)] = (ids - q * c).astype(np.int32)
+    send_ids = np.zeros((s, s, h_max), np.int32)
+    slot = np.arange(len(uniq)) - pair_start[ukey]
+    # consumer p = ukey // s needs usrc from producer q = ukey % s
+    send_ids[ukey % s, ukey // s, slot] = (usrc - (ukey % s) * c).astype(
+        np.int32)
 
-    # ---- per-shard binned layouts with remapped extended source ids
+    # remap every cross edge's source to its halo slot in one pass
+    remapped_all = col_ind.astype(np.int64) - owner_src * c  # local default
+    if cross.any():
+        idx = np.searchsorted(uniq, combo[cross])
+        pos = idx - pair_start[ukey[idx]]
+        remapped_all[cross] = c + owner_src[cross] * h_max + pos
+
+    # ---- per-shard binned layouts (CSR order is row-sorted, so each shard's
+    # edges are one contiguous slice — no per-shard full-edge masks)
     ext = c + num_shards * h_max
+    shard_lo = np.searchsorted(owner_dst, np.arange(num_shards + 1))
     fwd_local_b, fwd_halo_b, bwd_b, gids_b = [], [], [], []
     for p in range(num_shards):
-        mine = owner_dst == p
-        # remap: local rows to [0, c); sources to extended space
-        e_sel = np.nonzero(mine)[0]
+        e_sel = np.arange(shard_lo[p], shard_lo[p + 1])
         rows_l = (csr_row[e_sel] - p * c).astype(np.int64)
-        srcs = col_ind[e_sel].astype(np.int64)
-        own = owner_src[e_sel]
-        is_local = own == p
-        remapped = np.empty_like(srcs)
-        remapped[is_local] = srcs[is_local] - p * c
-        for q in range(num_shards):
-            if q == p:
-                continue
-            selq = own == q
-            if not np.any(selq):
-                continue
-            # halo slot = position in the (sorted unique) request list
-            pos = np.searchsorted(need[(p, q)], srcs[selq])
-            remapped[selq] = c + q * h_max + pos
+        is_local = ~cross[e_sel]
+        remapped = remapped_all[e_sel]
         # rebuild a local CSR over c rows; local edge ids = order within shard
         order = np.lexsort((remapped, rows_l))
         rows_s = rows_l[order]
