@@ -398,8 +398,10 @@ def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, g_ref, gt_ref, df_ref,
 
 
 def dense_gmm_bwd(alpha_r, beta_c, x_r, g_c, df_c, mask_bits, mu, isig, *,
-                  use_tanh: bool, Rt: int = 256, Ct: int = DENSE_CT,
+                  use_tanh: bool, Rt: int = 128, Ct: int = DENSE_CT,
                   mat_dtype=jnp.bfloat16, interpret: bool = False):
+    # default Rt=128: the K*D unrolled temporaries ([Rt, Ct] f32 each) put
+    # Rt=256 just past the 16MB VMEM scoped limit at K=D=2
     """Dense-block GMM backward partials (see _gmm_bwd_kernel).
 
     alpha_r: [R, D] source-side projection; beta_c: [C, D] dest-side;
