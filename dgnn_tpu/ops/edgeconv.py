@@ -103,6 +103,21 @@ def _masked_max(mask_neg, h_src):
     return jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
 
 
+@jax.jit
+def _masked_max_argmax(mask_neg, h_src):
+    """(max, argmax) over j of h_src[b,j,f] + mask_neg[b,i,j], F-chunked.
+    argmax is int32 [B, P, F] (first winner, like the reference kernel's
+    running strictly-greater max, fused_edgeconv_kernel.cu:31-38)."""
+    ms, ks = [], []
+    for i in _f_chunks(h_src.shape[-1]):
+        s = h_src[..., i:i + _F_CHUNK]
+        vals = s[:, None, :, :] + mask_neg[:, :, :, None]  # fused
+        ms.append(jnp.max(vals, axis=2))
+        ks.append(jnp.argmax(vals, axis=2).astype(jnp.int32))
+    cat = lambda x: jnp.concatenate(x, -1) if len(x) > 1 else x[0]
+    return cat(ms), cat(ks)
+
+
 @jax.custom_vjp
 def edge_conv_max_dense(mask_neg, h_src, h_dst):
     """out[b,i,f] = max over j with mask_neg[b,i,j]==0 of
@@ -123,43 +138,40 @@ def edge_conv_max_dense(mask_neg, h_src, h_dst):
 
 
 def _ecd_fwd(mask_neg, h_src, h_dst):
-    m = _masked_max(mask_neg, h_src)  # [B, P, F]
-    # Residuals: the max values only — backward recomputes the winning
-    # positions by equality instead of saving argmax, which would cost an
-    # extra O(P^2 F) index pass in forward (the reference saves max_idx,
-    # operators/fused_edgeconv.py:20; on TPU the recompute is cheaper).
-    return h_dst + m, (mask_neg, h_src, m)
+    # Under differentiation, compute max AND argmax in the same fused
+    # broadcast and save the winner index — backward then needs only ONE
+    # integer-compare pass over [B, P, P, Fc] instead of two value passes
+    # (the reference saves max_idx the same way,
+    # operators/fused_edgeconv.py:20).
+    m, kstar = _masked_max_argmax(mask_neg, h_src)
+    return h_dst + m, (kstar, mask_neg.shape)
 
 
 @jax.jit
-def _ecd_dsrc(mask_neg, h_src, m, g):
-    """Tie-averaged max backward, two fused batched passes (F-chunked):
-      cnt[b,i,f]   = #argmax ties of row i
-      d_src[b,j,f] = sum_i (g[b,i,f]/cnt[b,i,f]) [h_src[j]+mask[i,j] == m[i]]
-    Averaging over exact ties is a valid subgradient (a convex combination
-    of the per-winner subgradients); for continuous features ties are
-    measure-zero and this equals the reference's single-winner argmax.
-    Dense indicator sums, never a scatter (XLA scatters: ~0.2M rows/s)."""
+def _ecd_dsrc(kstar, g):
+    """Single-winner max backward, one integer-compare pass (F-chunked):
+      d_src[b,j,f] = sum_i g[b,i,f] [kstar[b,i,f] == j]
+    Deterministic (first maximal j wins, like the reference's running
+    strictly-greater max); a dense indicator sum, never a scatter (XLA
+    scatters: ~0.2M rows/s)."""
+    p = kstar.shape[1]
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p, 1), 2)
     outs = []
-    for i in _f_chunks(h_src.shape[-1]):
-        s = h_src[..., i:i + _F_CHUNK]
-        mc = m[..., i:i + _F_CHUNK]
+    for i in _f_chunks(kstar.shape[-1]):
+        kc = kstar[..., i:i + _F_CHUNK]
         gc = g[..., i:i + _F_CHUNK]
-        vals = s[:, None, :, :] + mask_neg[:, :, :, None]  # fused, not stored
-        cnt = jnp.sum((vals == mc[:, :, None, :]).astype(jnp.float32), axis=2)
-        gn = gc / jnp.maximum(cnt, 1.0)  # [B, P(i), Fc]
-        vals2 = s[:, None, :, :] + mask_neg[:, :, :, None]
-        ind = vals2 == mc[:, :, None, :]  # [B, P(i), P(j), Fc]
-        outs.append(jnp.sum(jnp.where(ind, gn[:, :, None, :], 0.0), axis=1))
+        ind = kc[:, :, None, :] == jidx  # [B, P(i), P(j), Fc] int compare
+        outs.append(jnp.sum(jnp.where(ind, gc[:, :, None, :], 0.0), axis=1))
     return jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
 
 
 def _ecd_bwd(res, g):
-    mask_neg, h_src, m = res
-    d_src = _ecd_dsrc(mask_neg, h_src, m, g)
+    kstar, mask_shape = res
+    d_src = _ecd_dsrc(kstar, g)
     # d/d h_dst is the identity (reference returns grad_out directly,
-    # operators/fused_edgeconv.py:22); the mask is non-differentiable.
-    return (jnp.zeros_like(mask_neg), d_src, g)
+    # operators/fused_edgeconv.py:22); the mask is non-differentiable (the
+    # zero cotangent is DCE'd — models stop_gradient the mask).
+    return (jnp.zeros(mask_shape, jnp.float32), d_src, g)
 
 
 edge_conv_max_dense.defvjp(_ecd_fwd, _ecd_bwd)

@@ -6,7 +6,8 @@ import numpy as np
 
 from dgnn_tpu.graph.knn import knn_graph
 from dgnn_tpu.ops import reference
-from dgnn_tpu.ops.edgeconv import edge_conv_max
+from dgnn_tpu.ops.edgeconv import (edge_conv_max,
+                                     edge_conv_max_dense)
 
 
 def test_forward_matches_dense(rng):
@@ -92,22 +93,20 @@ def test_dense_masked_matches_gather_path(rng):
                                    atol=1e-6)
 
 
-def test_dense_masked_tie_averaging(rng):
-    """With duplicated source rows (exact ties) the gradient is split evenly
-    over the tied winners (a valid max subgradient); total mass conserved."""
-    from dgnn_tpu.ops.edgeconv import edge_conv_max_dense
-
-    b, p, f = 1, 6, 3
-    h_src = jnp.asarray(np.tile(rng.normal(size=(1, 1, f)), (b, p, 1)),
-                        jnp.float32)  # all identical -> all tie
+def test_dense_masked_first_winner_grad(rng):
+    """With duplicated source rows (exact ties) the whole gradient goes to
+    the FIRST maximal source (deterministic; matches the reference kernel's
+    running strictly-greater max, fused_edgeconv_kernel.cu:31-38); total
+    mass conserved."""
+    b, p, f = 1, 4, 3
+    h_src = jnp.zeros((b, p, f), jnp.float32)  # all identical -> all tie
     h_dst = jnp.asarray(rng.normal(size=(b, p, f)), jnp.float32)
     mask = jnp.zeros((b, p, p), jnp.float32)  # fully connected
 
-    def loss(hs):
-        return jnp.sum(edge_conv_max_dense(mask, hs, h_dst))
+    def loss(h_src):
+        return jnp.sum(edge_conv_max_dense(mask, h_src, h_dst))
 
-    g = np.asarray(jax.grad(loss)(h_src))
-    # total gradient mass = P contributions per channel, split over p ties
-    np.testing.assert_allclose(g.sum(axis=(0, 1)), np.full(f, p, np.float32),
-                               rtol=1e-6)
-    np.testing.assert_allclose(g, np.full((b, p, f), 1.0), rtol=1e-6)
+    g = jax.grad(loss)(h_src)
+    # every destination row picks source 0: total mass = p per channel
+    np.testing.assert_allclose(np.asarray(g[0, 0]), p * np.ones(f))
+    np.testing.assert_allclose(np.asarray(g[0, 1:]), 0.0)
