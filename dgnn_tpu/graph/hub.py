@@ -176,14 +176,21 @@ def build_dense_numpy(row_ptr: np.ndarray, col_ind: np.ndarray,
     Cp = len(col_ids)
     row_local = np.full(n, -1, np.int64)
     row_local[row_sel] = np.arange(len(row_sel))
-    mask01 = np.zeros((Rp, Cp), bool)
-    mask01[row_local[rows_per_edge[e_dense]],
-           col_slot[col_ind[e_dense]]] = True
+    er = row_local[rows_per_edge[e_dense]]
+    ec = col_slot[col_ind[e_dense]]
+    try:
+        from .. import native
+        assert native.available()
+        mask = native.dense_mask_fill(er, ec, Rp, Cp, DENSE_CT)
+    except Exception:
+        mask01 = np.zeros((Rp, Cp), bool)
+        mask01[er, ec] = True
+        mask = pack_mask_bits(mask01)
     plan = DensePlan(
         row_ids=_pad_to(np.asarray(row_sel, np.int64), DENSE_RT).astype(
             np.int32),
         col_ids=col_ids.astype(np.int32),
-        mask=pack_mask_bits(mask01),
+        mask=mask,
         num_rows=len(row_sel),
     )
     return plan, res_row_ptr, res_col_ind, res_edge_ids

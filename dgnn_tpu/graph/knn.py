@@ -41,8 +41,10 @@ def knn_mask_neg(x: jax.Array, k: int, *, neg: float = -1e30,
                  dtype=jnp.bfloat16) -> jax.Array:
     """Dense k-NN adjacency as an additive max-mask (TPU-native form).
 
-    Returns [B, P, P] f32 with 0 where j is among i's k nearest neighbors
-    (self included) and ``neg`` elsewhere, so neighbor-max aggregation is a
+    Returns [B, P, P] ``dtype`` (bfloat16 default — the mask is {0, neg}
+    and re-read by every F-chunk of the conv) with 0 where j is among i's k
+    nearest neighbors (self included) and ``neg`` elsewhere, so
+    neighbor-max aggregation is a
     dense, fully-vectorized ``max_j (vals + mask)`` — no per-edge gathers,
     which on TPU are rate-bound and far slower than the 1/(P/k) "wasted"
     dense compute (see ops/edgeconv.py).

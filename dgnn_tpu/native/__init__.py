@@ -14,7 +14,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "coo_to_csr", "csr_to_csc_permute", "rmat_edges"]
+__all__ = ["available", "coo_to_csr", "csr_to_csc_permute", "rmat_edges",
+           "dense_mask_fill"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "graph_prep.cc")
@@ -52,6 +53,10 @@ def _load():
             lib.dgnn_bin_fill.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, i64p, i64p, i32p, i64p,
                 i32p, i32p]
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+            lib.dgnn_dense_mask_fill.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+                u8p]
             _lib = lib
         except Exception:
             _lib = None
@@ -112,3 +117,16 @@ def rmat_edges(num_nodes: int, num_edges: int, seed: int = 0, a: float = 0.57,
     dst = np.empty(num_edges, np.int64)
     lib.dgnn_rmat(num_nodes, num_edges, seed, a, b, c, src, dst)
     return src, dst
+
+
+def dense_mask_fill(rows_local: np.ndarray, cols_local: np.ndarray,
+                    rpad: int, cpad: int, ct: int) -> np.ndarray:
+    """Bit-plane-packed [rpad, cpad//8] mask from dense-edge coordinates."""
+    lib = _load()
+    assert lib is not None
+    rows_local = np.ascontiguousarray(rows_local, dtype=np.int64)
+    cols_local = np.ascontiguousarray(cols_local, dtype=np.int64)
+    mask = np.zeros((rpad, cpad // 8), np.uint8)
+    lib.dgnn_dense_mask_fill(len(rows_local), cpad, ct, rows_local,
+                             cols_local, mask)
+    return mask

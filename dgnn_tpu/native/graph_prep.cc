@@ -141,3 +141,27 @@ void dgnn_rmat(int64_t n, int64_t e, uint64_t seed, double a, double b,
 }
 
 }  // extern "C"
+
+// Dense hub-block mask fill: set adjacency bits of the [R, C] block directly
+// in the bit-plane-packed layout (graph/hub.py pack_mask_bits semantics):
+// within each ct-column tile, the bit of logical column slot j lives in byte
+// j % (ct/8), bit j / (ct/8).  The numpy path (materialize [R, C] bool,
+// permute, packbits) costs ~10 minutes and ~9 GB at Reddit scale; this is a
+// single O(E) pass.
+extern "C" void dgnn_dense_mask_fill(
+    int64_t num_edges, int64_t cpad, int64_t ct,
+    const int64_t* rows_local,   // [E] dense row index per edge
+    const int64_t* cols_local,   // [E] dense column slot per edge
+    uint8_t* mask)               // [R, cpad/8] zero-initialized
+{
+  const int64_t cb = ct / 8;           // bytes per tile
+  const int64_t row_bytes = cpad / 8;
+  for (int64_t e = 0; e < num_edges; ++e) {
+    const int64_t j = cols_local[e];
+    const int64_t tile = j / ct;
+    const int64_t in_tile = j % ct;
+    const int64_t byte = tile * cb + in_tile % cb;
+    const int64_t bit = in_tile / cb;
+    mask[rows_local[e] * row_bytes + byte] |= (uint8_t)(1u << bit);
+  }
+}

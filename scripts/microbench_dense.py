@@ -1,11 +1,14 @@
-"""Microbenchmark: dense hub-block masked-softmax aggregation (prototype).
+"""Microbenchmark: the dense hub-block Pallas kernels (ops/pallas_dense.py).
 
-Sizes the dense/MXU path for Reddit-scale hub rows before building it into
-ops/: a [R, C] bit-masked block processed flash-attention style (per-head
-[Rt, Ct] score tiles on the VPU, [Rt, Ct] @ [Ct, F] aggregation on the MXU)
-should replace rate-bound per-edge gathers (~13ns/row) for high-degree rows.
+Measures masked-pairs/s of the GAT forward/backward and GMM forward/backward
+kernels on a synthetic 65536^2 bit-masked block at Reddit-hub density
+(~3%), the configuration graph/hub.py's cost model is calibrated against
+(DENSE_PAIRS_PER_S).  Run on TPU:  python scripts/microbench_dense.py
 
-Run on TPU: python scripts/microbench_dense.py
+Context: XLA row gathers are rate-bound at ~75M rows/s on this chip, so the
+kernel's measured ~43G pairs/s means any subgraph denser than ~0.2% is
+faster dense than gathered (docs/PERF_NOTES.md).  An equivalent XLA
+scan-of-tiles implementation measured 5.6G pairs/s and took 210s to trace.
 """
 import os
 import sys
@@ -17,107 +20,74 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dgnn_tpu.utils.timing import time_fn
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".bench_cache",
+                      "xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-NEG = jnp.float32(-1e30)
-
-
-def make_inputs(R, C, H, F, density, seed=0, mat_dtype=jnp.bfloat16):
-    rng = np.random.default_rng(seed)
-    ar = jnp.asarray(rng.normal(size=(R, H)).astype(np.float32))
-    ac = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32))
-    x = jnp.asarray(rng.normal(size=(C, H, F)).astype(np.float32)).astype(mat_dtype)
-    bits = rng.random((R, C)) < density
-    mask = jnp.asarray(np.packbits(bits, axis=1))  # [R, C//8] uint8
-    return ar, ac, x, mask
+from dgnn_tpu.ops.pallas_dense import (dense_gat_bwd, dense_gat_fwd,
+                                       dense_gmm_bwd, dense_gmm_fwd)
+from dgnn_tpu.utils.timing import fetch_scalar
 
 
-def dense_fwd(ar, ac, x, mask_bits, Rt, Ct, slope=0.2, mat_dtype=jnp.bfloat16):
-    R, H = ar.shape
-    C = ac.shape[0]
-    F = x.shape[-1]
-    n_rt = R // Rt
-    n_ct = C // Ct
-    x2 = x.reshape(C, H * F)
-
-    def row_chunk(_, r):
-        ar_c = jax.lax.dynamic_slice_in_dim(ar, r * Rt, Rt, 0)  # [Rt, H]
-        mb_c = jax.lax.dynamic_slice_in_dim(mask_bits, r * Rt, Rt, 0)
-
-        def col_tile(carry, t):
-            m, l, lpos, acc, accpos = carry
-            ac_t = jax.lax.dynamic_slice_in_dim(ac, t * Ct, Ct, 0)  # [Ct, H]
-            x_t = jax.lax.dynamic_slice_in_dim(x2, t * Ct, Ct, 0)  # [Ct, HF]
-            mb_t = jax.lax.dynamic_slice_in_dim(mb_c, t * (Ct // 8), Ct // 8, 1)
-            # unpack bits -> [Rt, Ct] bool
-            shifts = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
-            m_u = ((mb_t[:, :, None] >> (7 - shifts)) & 1).astype(jnp.bool_)
-            mask = m_u.reshape(Rt, Ct)
-            p_h, ppos_h, m_new_h, l_h, lpos_h = [], [], [], [], []
-            for h in range(H):
-                s = ar_c[:, h][:, None] + ac_t[:, h][None, :]  # [Rt, Ct]
-                s = jnp.where(s >= 0, s, s * slope)
-                s = jnp.where(mask, s, NEG)
-                m_new = jnp.maximum(m[:, h], jnp.max(s, axis=1))
-                p = jnp.exp(s - m_new[:, None])
-                p = jnp.where(mask, p, 0.0)
-                ppos = jnp.where(s >= 0, p, 0.0)
-                p_h.append(p)
-                ppos_h.append(ppos)
-                m_new_h.append(m_new)
-                l_h.append(jnp.sum(p, axis=1))
-                lpos_h.append(jnp.sum(ppos, axis=1))
-            m_new = jnp.stack(m_new_h, 1)  # [Rt, H]
-            resc = jnp.exp(m - m_new)
-            l = l * resc + jnp.stack(l_h, 1)
-            lpos = lpos * resc + jnp.stack(lpos_h, 1)
-            # aggregation on MXU: per head [Rt, Ct] @ [Ct, F]
-            upd = jnp.stack(
-                [jnp.dot(p_h[h].astype(mat_dtype),
-                         x_t[:, h * F:(h + 1) * F],
-                         preferred_element_type=jnp.float32)
-                 for h in range(H)], 1)  # [Rt, H, F]
-            updpos = jnp.stack(
-                [jnp.dot(ppos_h[h].astype(mat_dtype),
-                         x_t[:, h * F:(h + 1) * F],
-                         preferred_element_type=jnp.float32)
-                 for h in range(H)], 1)
-            acc = acc * resc[..., None] + upd
-            accpos = accpos * resc[..., None] + updpos
-            return (m_new, l, lpos, acc, accpos), None
-
-        init = (jnp.full((Rt, H), NEG), jnp.zeros((Rt, H)),
-                jnp.zeros((Rt, H)), jnp.zeros((Rt, H, F)),
-                jnp.zeros((Rt, H, F)))
-        (m, l, lpos, acc, accpos), _ = jax.lax.scan(
-            col_tile, init, jnp.arange(n_ct))
-        return None, (m, l, lpos, acc, accpos)
-
-    _, outs = jax.lax.scan(row_chunk, None, jnp.arange(n_rt))
-    return jax.tree.map(lambda o: o.reshape((R,) + o.shape[2:]), outs)
+def timeit(fn, *args, iters=5):
+    out = fn(*args)
+    fetch_scalar(out)  # first call: upload + warm
+    out = fn(*args)
+    fetch_scalar(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    fetch_scalar(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
+    rng = np.random.default_rng(0)
+    R = C = 65536
     H, F = 4, 64
-    R = C = 32768
-    density = 0.025
-    for mat_dtype in (jnp.bfloat16,):
-        ar, ac, x, mask = make_inputs(R, C, H, F, density, mat_dtype=mat_dtype)
-        for (Rt, Ct) in ((256, 2048), (512, 4096)):
-            fn = jax.jit(lambda a, b, c, d, Rt=Rt, Ct=Ct,
-                         md=mat_dtype: dense_fwd(a, b, c, d, Rt, Ct,
-                                                 mat_dtype=md))
-            t0 = time.time()
-            out = fn(ar, ac, x, mask)
-            jax.block_until_ready(out)
-            compile_s = time.time() - t0
-            dt = time_fn(fn, ar, ac, x, mask, iters=5, warmup=2)
-            pairs = R * C
-            edges = pairs * density
-            print(f"dtype={mat_dtype.__name__} Rt={Rt} Ct={Ct}: {dt*1e3:.1f} ms "
-                  f"({pairs/dt/1e9:.1f} Gpair/s, {edges/dt/1e6:.0f} Medge/s, "
-                  f"equiv-gather-rate x{edges/dt/75e6:.1f}) compile {compile_s:.0f}s",
-                  flush=True)
+    # ~3% density cheaply: AND of 5 random byte planes
+    b = rng.integers(0, 256, (R, C // 8), dtype=np.uint8)
+    for _ in range(4):
+        b &= rng.integers(0, 256, (R, C // 8), dtype=np.uint8)
+    density = np.unpackbits(b[:256]).mean()
+    bits = jnp.asarray(b)
+    E = R * C * density
+
+    def report(tag, dt):
+        print(f"{tag}: {dt*1e3:7.1f} ms  {R*C/dt/1e9:5.0f} Gpair/s  "
+              f"{E/dt/1e6:5.0f} Medge/s (x{E/dt/75e6:.0f} vs gather wall)",
+              flush=True)
+
+    ar = jnp.asarray(rng.normal(size=(R, H)).astype(np.float32))
+    ac = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(C, H * F)).astype(np.float32))
+    fn = jax.jit(lambda *a: dense_gat_fwd(*a, slope=0.2))
+    report("gat fwd (train, sign-split)", timeit(fn, ar, ac, x, bits))
+    fni = jax.jit(lambda *a: dense_gat_fwd(*a, slope=0.2, with_pos=False))
+    report("gat fwd (inference)       ", timeit(fni, ar, ac, x, bits))
+
+    g = jnp.asarray(rng.normal(size=(C, H * F)).astype(np.float32))
+    st = jnp.asarray(np.abs(rng.normal(size=(C, 4 * H))).astype(np.float32)
+                     + 0.5)
+    fnb = jax.jit(lambda *a: dense_gat_bwd(*a, slope=0.2, H=H))
+    report("gat bwd (dX + d attn_col) ", timeit(fnb, ac, x, g, st, bits))
+
+    K, D = 2, 2
+    beta = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    alpha = jnp.asarray(rng.normal(size=(C, D)).astype(np.float32))
+    xg = jnp.asarray(rng.normal(size=(C, K * F)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(K, D)).astype(np.float32))
+    isig = jnp.ones((K, D), jnp.float32)
+    fg = jax.jit(lambda *a: dense_gmm_fwd(*a, use_tanh=True))
+    report("gmm fwd                   ", timeit(fg, beta, alpha, xg, bits,
+                                                mu, isig))
+    gg = jnp.asarray(rng.normal(size=(C, K * F)).astype(np.float32))
+    df = jnp.asarray(rng.normal(size=(C, 1)).astype(np.float32))
+    fb = jax.jit(lambda *a: dense_gmm_bwd(*a, use_tanh=True))
+    report("gmm bwd (+param stats)    ", timeit(fb, alpha, beta, xg, gg, df,
+                                                bits, mu, isig))
 
 
 if __name__ == "__main__":

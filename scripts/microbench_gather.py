@@ -3,7 +3,8 @@
 
 1. XLA row gather feat[idx] for [E] indices into [N, D] (the current default
    path inside the binned einsum).
-2. Pallas per-row DMA gather (current ops/pallas kernels, H*F>=1024 layout).
+2. Pallas per-row DMA gather (measured 26M rows/s — why the framework uses
+   dense hub blocks instead of DMA gathers; the kernels here are standalone).
 3. Pallas in-VMEM tpu.dynamic_gather (jnp.take_along_axis on a VMEM-resident
    [C, 128] table) — candidate for a column-blocked SpMM.
 

@@ -5,7 +5,7 @@
 set -e
 cd "$(dirname "$0")/.."
 OUT=${1:-results.csv}
-EPOCHS=${EPOCHS:-50}
+EPOCHS=${EPOCHS:-100}
 
 for ds in cora citeseer pubmed; do
   python scripts/train_gat.py --dataset "$ds" --n-heads 4 --n-hidden 64 \
@@ -15,7 +15,7 @@ for ds in cora citeseer pubmed; do
 done
 # large-graph configs (synthetic Reddit scale): fewer epochs
 python scripts/train_gat.py --dataset reddit --n-heads 4 --n-hidden 64 \
-  --n-epochs 5 --output "$OUT"
-python scripts/train_edgeconv.py --num-epochs 3 --batch-size 64 --k 40 \
+  --n-epochs 3 --output "$OUT"
+python scripts/train_edgeconv.py --num-epochs 12 --batch-size 64 --k 40 \
   --output "$OUT"
 cat "$OUT"

@@ -133,6 +133,10 @@ def main(args):
                                         consts=(xtr_d, ytr_d))
     params, batch_stats = carry[0], carry[1]
     max_mb = device_peak_memory_mb()
+    if max_mb < 0:  # axon exposes no runtime stats: static executable analysis
+        from dgnn_tpu.utils import timing as _timing
+        max_mb = _timing.LAST_MEMORY_MB["value"] or -1
+
     print(f"final train loss {float(carry[3]):.4f} acc {float(carry[4]):.4f}")
 
     print("profile inference")

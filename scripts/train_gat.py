@@ -29,7 +29,15 @@ from dgnn_tpu.utils import (append_csv_row, device_peak_memory_mb,
 
 def main(args):
     data = load_citation_dataset(args.dataset, seed=args.seed)
-    graph = build_graph(data.src, data.dst, data.num_nodes)
+    cache_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache",
+        f"rmat_graph_{data.num_nodes}_{len(data.src)}_d1.npz")
+    if args.dataset == "reddit" and os.path.exists(cache_path):
+        from dgnn_tpu.graph import cache as gcache
+        graph = gcache.load_graph(cache_path)  # same R-MAT seed as bench
+    else:
+        graph = build_graph(data.src, data.dst, data.num_nodes,
+                            dense="auto", edge_tables=False)
     features = jnp.asarray(data.features)
     labels = jnp.asarray(data.labels)
     train_mask = jnp.asarray(data.train_mask)
@@ -72,6 +80,10 @@ def main(args):
                                         warmup=10, consts=consts)
     params = carry[0]
     max_mb = device_peak_memory_mb()
+    if max_mb < 0:  # axon exposes no runtime stats: static executable analysis
+        from dgnn_tpu.utils import timing as _timing
+        max_mb = _timing.LAST_MEMORY_MB["value"] or -1
+
     if args.verbose:
         print("final loss", float(carry[2]))
 

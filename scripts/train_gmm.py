@@ -75,6 +75,10 @@ def main(args):
                                         warmup=10, consts=consts)
     params = carry[0]
     max_mb = device_peak_memory_mb()
+    if max_mb < 0:  # axon exposes no runtime stats: static executable analysis
+        from dgnn_tpu.utils import timing as _timing
+        max_mb = _timing.LAST_MEMORY_MB["value"] or -1
+
 
     print("profile inference")
 

@@ -64,3 +64,21 @@ def test_native_rmat_shape_and_determinism(native):
     deg = np.bincount(d1, minlength=1000)
     top = np.sort(deg)[-10:].sum()
     assert top > 0.05 * 5000, top
+
+
+def test_dense_mask_fill_matches_numpy(rng):
+    from dgnn_tpu import native
+    from dgnn_tpu.graph.hub import pack_mask_bits
+    from dgnn_tpu.ops.pallas_dense import DENSE_CT
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rpad, cpad = 16, 2 * DENSE_CT
+    e = 500
+    er = rng.integers(0, rpad, e)
+    ec = rng.integers(0, cpad, e)
+    got = native.dense_mask_fill(er, ec, rpad, cpad, DENSE_CT)
+    mask01 = np.zeros((rpad, cpad), bool)
+    mask01[er, ec] = True
+    np.testing.assert_array_equal(got, pack_mask_bits(mask01))
