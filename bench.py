@@ -90,13 +90,23 @@ def _citation_graph(name, scale=1.0):
         n, e = int(n_full * scale), int(e_full * scale)
         os.makedirs(CACHE_DIR, exist_ok=True)
         # cache key: binning/dense-format version
-        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_d1.npz")
+        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_d2.npz")
         if os.path.exists(path):
             g = gcache.load_graph(path)
         else:
-            src, dst = rmat_edges(n, e, seed=0)
-            g = structure.build_graph(src, dst, n, dense="auto",
-                                      edge_tables=False)
+            # two-level cache: the raw CSR/CSC/permute arrays are
+            # format-independent (a layout change only re-pays binning +
+            # dense planning, ~2 min, not the R-MAT + sorts)
+            raw = os.path.join(CACHE_DIR, f"rmat_raw_{n}_{e}.npz")
+            if not os.path.exists(raw):
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "scripts"))
+                from build_reddit_raw import build_raw
+                build_raw(n, e, raw)
+            z = np.load(raw)
+            g = structure.build_graph_from_csr(
+                z["row_ptr"], z["col_ind"], z["col_ptr"], z["row_ind"],
+                z["permute"], dense="auto", edge_tables=False)
             gcache.save_graph(path, g)
         rng = np.random.default_rng(0)
         feat = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))

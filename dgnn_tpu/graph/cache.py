@@ -30,10 +30,13 @@ def _pack_binned(prefix: str, adj: BinnedAdj, store: dict, meta: dict):
     if adj.cmb is not None:
         store[f"{prefix}_cmb"] = np.asarray(adj.cmb)
     if adj.dense is not None:
-        store[f"{prefix}_dense_row_ids"] = np.asarray(adj.dense.row_ids)
-        store[f"{prefix}_dense_col_ids"] = np.asarray(adj.dense.col_ids)
-        store[f"{prefix}_dense_mask"] = np.asarray(adj.dense.mask)
-        meta[prefix]["dense_num_rows"] = adj.dense.num_rows
+        d = adj.dense
+        store[f"{prefix}_dense_row_ids"] = np.asarray(d.row_ids)
+        store[f"{prefix}_dense_col_ids"] = np.asarray(d.col_ids)
+        store[f"{prefix}_dense_mask"] = np.asarray(d.mask)
+        for name in ("rc", "ct", "first", "rc_h", "ct_h", "first_h", "mt_h"):
+            store[f"{prefix}_dense_{name}"] = np.asarray(getattr(d, name))
+        meta[prefix]["dense_num_rows"] = d.num_rows
 
 
 def _unpack_binned(prefix: str, z, meta: dict) -> BinnedAdj:
@@ -45,6 +48,9 @@ def _unpack_binned(prefix: str, z, meta: dict) -> BinnedAdj:
             row_ids=jnp.asarray(z[f"{prefix}_dense_row_ids"]),
             col_ids=jnp.asarray(z[f"{prefix}_dense_col_ids"]),
             mask=jnp.asarray(z[f"{prefix}_dense_mask"]),
+            **{name: jnp.asarray(z[f"{prefix}_dense_{name}"])
+               for name in ("rc", "ct", "first",
+                            "rc_h", "ct_h", "first_h", "mt_h")},
             num_rows=int(m["dense_num_rows"]),
         )
     return BinnedAdj(

@@ -19,23 +19,34 @@ import numpy as np
 from . import binning as _binning
 from . import build as _build
 
-__all__ = ["BinnedAdj", "DenseBlock", "Graph", "build_graph", "from_binned"]
+__all__ = ["BinnedAdj", "DenseBlock", "Graph", "build_graph",
+           "build_graph_from_csr", "from_binned"]
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseBlock:
-    """Degree-ranked dense hub block on device (see graph/hub.py).
+    """Tile-sparse dense hub block on device (see graph/hub.py).
 
-    The block's rows are processed by the Pallas masked-matmul kernels
-    (ops/pallas_dense.py) instead of gathers; its per-row partials are
-    appended AFTER all bin-segment partials and merged through the same
-    combine table.  ``row_ids``/``col_ids`` are 0-padded; padded rows have
-    all-zero mask rows and are excluded from the combine table."""
+    The block's tiles are processed by the Pallas masked-matmul kernels
+    (ops/pallas_dense.py) via the scalar-prefetched (rc, ct, first)
+    schedule; its per-row partials are appended AFTER all bin-segment
+    partials and merged through the same combine table.
+    ``row_ids``/``col_ids`` are 0-padded; padded rows have all-zero mask
+    rows and are excluded from the combine table.  The ``*_h`` arrays are
+    the half-row-granularity schedule over the same mask bytes
+    (hub.DensePlan.half_schedule; used by VMEM-constrained kernels)."""
 
     row_ids: jax.Array  # [Rpad] int32 — graph row id per dense row
     col_ids: jax.Array  # [Cpad] int32 — graph col id per kernel slot
-    mask: jax.Array     # [Rpad, Cpad//8] uint8 bit-plane packed adjacency
+    mask: jax.Array     # [T, RT, CT//8] uint8 bit-plane packed adjacency
+    rc: jax.Array       # [T] int32 row-chunk per schedule entry
+    ct: jax.Array       # [T] int32 col-tile per schedule entry
+    first: jax.Array    # [T] int32 1 iff first entry of its row chunk
+    rc_h: jax.Array     # [2T] int32 half-granularity schedule
+    ct_h: jax.Array     # [2T] int32
+    first_h: jax.Array  # [2T] int32
+    mt_h: jax.Array     # [2T] int32 mask-tile index (into [2T, RT/2, .])
     num_rows: int = dataclasses.field(metadata=dict(static=True))
 
 
@@ -82,9 +93,17 @@ def from_binned(b: _binning.BinnedCSR, with_cmb: bool = True,
     cmb = None
     dense_dev = None
     if dense is not None:
+        rc_h, ct_h, first_h, mt_h = dense.half_schedule()
         dense_dev = DenseBlock(row_ids=jnp.asarray(dense.row_ids),
                                col_ids=jnp.asarray(dense.col_ids),
                                mask=jnp.asarray(dense.mask),
+                               rc=jnp.asarray(dense.rc),
+                               ct=jnp.asarray(dense.ct),
+                               first=jnp.asarray(dense.first),
+                               rc_h=jnp.asarray(rc_h),
+                               ct_h=jnp.asarray(ct_h),
+                               first_h=jnp.asarray(first_h),
+                               mt_h=jnp.asarray(mt_h),
                                num_rows=int(dense.num_rows))
     if with_cmb:
         rows_concat = [np.asarray(r) for r in b.row]
@@ -180,25 +199,52 @@ def build_graph(
         src, dst = _build.add_self_loops(src, dst, num_nodes)
     row_ptr, col_ind = _build.coo_to_csr(src, dst, num_nodes)
     col_ptr, row_ind, permute = _build.csr_to_csc_permute(row_ptr, col_ind)
+    return build_graph_from_csr(row_ptr, col_ind, col_ptr, row_ind, permute,
+                                widths=widths, dense=dense,
+                                edge_tables=edge_tables)
+
+
+def build_graph_from_csr(
+    row_ptr,
+    col_ind,
+    col_ptr,
+    row_ind,
+    permute,
+    *,
+    widths: Sequence[int] | None = None,
+    dense: str | tuple | None = None,
+    edge_tables: bool = True,
+) -> Graph:
+    """build_graph from already-preprocessed CSR/CSC/permute arrays (e.g. a
+    raw-array disk cache — the expensive sorts are format-independent and
+    cached separately from the binned/dense layout, scripts/build_reddit_raw
+    .py)."""
+    row_ptr = np.asarray(row_ptr, np.int64)
+    col_ind = np.asarray(col_ind)
+    col_ptr = np.asarray(col_ptr, np.int64)
+    row_ind = np.asarray(row_ind)
+    permute = np.asarray(permute)
+    num_nodes = len(row_ptr) - 1
 
     def _one_dir(rp, ci, eids, opp_deg):
         """Plan/split dense block, bin the residual, for one direction."""
         plan = None
         if dense is not None:
             from . import hub as _hub
-            sel = (_hub.plan_dense(rp, ci, opp_deg) if dense == "auto"
-                   else None)
-            if isinstance(dense, tuple):
+            sel = None
+            if dense == "auto":
+                sel = _hub.plan_dense(rp, ci, opp_deg)
+            elif isinstance(dense, tuple):
                 r, c = dense
                 rows_by = np.argsort(np.diff(rp), kind="stable")[::-1][:r]
                 cols_by = np.argsort(opp_deg, kind="stable")[::-1][:c]
-                sel = (r, c, rows_by, cols_by)
+                sel = (rows_by, cols_by, None)  # keep every tile
             if sel is not None:
-                _, _, rows_sel, cols_sel = sel
+                rows_sel, cols_sel, keep_tiles = sel
                 if eids is None:
                     eids = np.arange(len(ci), dtype=np.int64)
                 plan, rp, ci, keep = _hub.build_dense_numpy(
-                    rp, ci, rows_sel, cols_sel)
+                    rp, ci, rows_sel, cols_sel, keep_tiles)
                 eids = eids[keep]
         w = widths if widths is not None else _binning.auto_widths(
             np.diff(rp))

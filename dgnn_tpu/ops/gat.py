@@ -165,7 +165,7 @@ def _forward_dense(db, ar, ac, feat, slope, p, seed, training, with_pos,
     ar_d = ar[db.row_ids]
     ac_d = ac[db.col_ids]
     x_d = feat.reshape(-1, H * F)[db.col_ids]
-    m, l, lp, acc, accp = dense_gat_fwd(ar_d, ac_d, x_d, db.mask,
+    m, l, lp, acc, accp = dense_gat_fwd(db, ar_d, ac_d, x_d,
                                         slope=slope, with_pos=with_pos,
                                         mat_dtype=mat_dtype,
                                         interpret=_interpret())
@@ -345,8 +345,8 @@ def _gat_fused_bwd(slope, p, training, dense_dtype, res, g_out):
         # [C]-row gather of the packed z rows, split into g / stats blocks
         zc = zcat[db.col_ids]
         dxp, dacp = dense_gat_bwd(
-            ac[db.row_ids], feat.reshape(-1, HF)[db.row_ids],
-            zc[:, :HF], zc[:, HF:], db.mask, slope=slope,
+            db, ac[db.row_ids], feat.reshape(-1, HF)[db.row_ids],
+            zc[:, :HF], zc[:, HF:], slope=slope,
             H=H, mat_dtype=_dense_dt(dense_dtype), interpret=_interpret())
         dx_parts.append(dxp.reshape(-1, H, F))
         dac_parts.append(dacp)

@@ -429,8 +429,8 @@ def _node_fwd(adj: BinnedAdj, alpha, beta, feat, mu, isig, use_tanh,
         from .pallas_dense import dense_gmm_fwd
 
         db = adj.dense
-        acc = dense_gmm_fwd(beta[db.row_ids], alpha[db.col_ids],
-                            feat.reshape(-1, KF)[db.col_ids], db.mask, mu,
+        acc = dense_gmm_fwd(db, beta[db.row_ids], alpha[db.col_ids],
+                            feat.reshape(-1, KF)[db.col_ids], mu,
                             isig, use_tanh=use_tanh,
                             mat_dtype=_dense_dt(dense_dtype),
                             interpret=_interp())
@@ -521,10 +521,10 @@ def _node_bwd(adj_bwd: BinnedAdj, alpha, beta, sfeat, dfeat, feat, mu, isig,
         KD = K * D
         zc = zcat[db.col_ids]  # ONE [C]-row gather, split into narrow blocks
         dx_p, st = dense_gmm_bwd(
-            alpha[db.row_ids], zc[:, KF:KF + D].astype(jnp.float32),
+            db, alpha[db.row_ids], zc[:, KF:KF + D].astype(jnp.float32),
             feat.reshape(-1, KF)[db.row_ids], zc[:, :KF],
             zc[:, KF + D:].astype(jnp.float32),
-            db.mask, mu, isig, use_tanh=use_tanh,
+            mu, isig, use_tanh=use_tanh,
             mat_dtype=_dense_dt(dense_dtype), interpret=_interp())
         dxs.append(dx_p.reshape(-1, K, F))
         valid = (jnp.arange(db.row_ids.shape[0]) < db.num_rows)[:, None]

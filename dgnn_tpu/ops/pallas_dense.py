@@ -1,30 +1,35 @@
-"""Pallas TPU kernels for the dense hub-block path.
+"""Pallas TPU kernels for the tile-sparse dense hub path.
 
-Reddit-class power-law graphs concentrate most edges in a small dense block:
-the top-64K rows x top-64K columns (by degree) of the Reddit-scale R-MAT
-hold ~92% of all edges at ~2.5% density.  Per-edge gathers on this TPU are
-rate-bound at ~75M rows/s (docs/PERF_NOTES.md), so the fused ops route that
-block through these kernels instead: a flash-attention-style masked softmax
-aggregation over a bit-packed [R, C] adjacency, streaming column tiles from
-HBM through VMEM with score/softmax math on the VPU and aggregation matmuls
-on the MXU (see scripts/microbench_dense.py for the measured rates).
+Reddit-class power-law graphs concentrate most edges near the top-left
+corner of the degree-ranked adjacency plane.  Per-edge gathers on this TPU
+are rate-bound at ~75M rows/s (docs/PERF_NOTES.md), so the fused ops route
+every [DENSE_RT x DENSE_CT] tile of that plane whose edge count beats the
+measured break-even (~800 edges, graph/hub.py) through these kernels: a
+flash-attention-style masked softmax aggregation over bit-packed per-tile
+adjacency, with score/softmax math on the VPU and aggregation matmuls on
+the MXU (see scripts/microbench_dense.py for the measured rates).
+
+The tile schedule is data-dependent, so the grid is 1-D over schedule
+entries with the (row-chunk, col-tile, mask-tile) coordinates
+scalar-prefetched (pltpu.PrefetchScalarGridSpec): entry t processes row
+chunk ``rc[t]`` x col tile ``ct[t]`` with adjacency bits ``mask[mt[t]]``.
+Entries are sorted by (rc, ct) — consecutive entries share their output
+block, which therefore stays resident in VMEM across a row chunk's sweep
+(the online-softmax running state); ``first[t]`` marks accumulator
+initialization points.  The GMM backward kernel runs at half row height
+(VMEM pressure) using the half-granularity schedule that re-indexes the
+same mask storage (graph/hub.DensePlan.half_schedule).
 
 Reference analogue: none — dgNN's warp-per-row CSR kernels
 (fused_gatconv_kernel.cu:24-118) stream CSR edges at the GPU's random-read
-bandwidth; the dense-block formulation is the same computation re-designed
-for a systolic-array machine.
+bandwidth; the tile-sparse dense formulation is the same computation
+re-designed for a systolic-array machine.
 
-Grid layout: (row_chunks, col_tiles); col tiles iterate innermost, so the
-running (m, l, acc, ...) state lives in the output VMEM blocks (whose index
-map is constant in t) across a row chunk's sweep — the flash-attention
-online-softmax structure.
-
-Mask format ("bit-plane" packing, built by graph/hub.py): columns are
-handled in tiles of ``DENSE_CT``.  Within a tile, the adjacency bit of the
-column at lane j lives in byte j % (CT/8), bit j // (CT/8) — so the kernel
-unpack is eight shift-ands concatenated along lanes, with no lane gather.
-The host stores ``col_ids`` in matching order, making the layout invisible
-to everything outside the mask packer.
+Mask format ("bit-plane" packing, built by graph/hub.py): within a tile,
+the adjacency bit of the column at lane j lives in byte j % (CT/8), bit
+j // (CT/8) — so the kernel unpack is eight shift-ands concatenated along
+lanes, with no lane gather.  The host stores ``col_ids`` in matching
+order, making the layout invisible to everything outside the mask packer.
 """
 
 from __future__ import annotations
@@ -33,7 +38,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,7 +46,13 @@ NEG = -1e30  # python float: jnp scalars become captured consts in kernels
 # Fixed column-tile width baked into the mask packing (graph/hub.py).
 DENSE_CT = 2048
 
-__all__ = ["dense_gat_fwd", "dense_gat_bwd", "DENSE_CT", "unpack_mask"]
+# The scalar-prefetched (dynamic) index maps make Mosaic double-buffer every
+# block conservatively, which puts the unrolled-head kernels a few MB past
+# the default 16MB scoped-VMEM limit; the chip has 128MB, so raise it.
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+__all__ = ["dense_gat_fwd", "dense_gat_bwd", "dense_gmm_fwd",
+           "dense_gmm_bwd", "DENSE_CT", "unpack_mask"]
 
 
 def unpack_mask(bits_u8):
@@ -51,16 +61,40 @@ def unpack_mask(bits_u8):
     return jnp.concatenate([(b >> k) & 1 for k in range(8)], axis=1)
 
 
-def _gat_fwd_kernel(ar_ref, ac_ref, x_ref, mb_ref,
-                    m_ref, l_ref, lp_ref, acc_ref, accp_ref,
+def _sched(db):
+    """Full-granularity schedule: (rc, ct, first, mt) int32 + mask."""
+    rc = jnp.asarray(db.rc, jnp.int32)
+    return (rc, jnp.asarray(db.ct, jnp.int32),
+            jnp.asarray(db.first, jnp.int32),
+            jnp.arange(rc.shape[0], dtype=jnp.int32), db.mask)
+
+
+def _sched_half(db):
+    """Half-row-granularity schedule over the same mask bytes (built by
+    graph/hub.DensePlan.half_schedule, uploaded in structure.from_binned):
+    mask viewed as [2T, RT/2, CT//8]."""
+    T, RT, CB = db.mask.shape
+    mask = db.mask.reshape(2 * T, RT // 2, CB)
+    return (jnp.asarray(db.rc_h, jnp.int32), jnp.asarray(db.ct_h, jnp.int32),
+            jnp.asarray(db.first_h, jnp.int32),
+            jnp.asarray(db.mt_h, jnp.int32), mask)
+
+
+# ---------------------------------------------------------------------------
+# GAT
+# ---------------------------------------------------------------------------
+
+
+def _gat_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ar_ref, ac_ref, x_ref,
+                    mb_ref, m_ref, l_ref, lp_ref, acc_ref, accp_ref,
                     *, H, F, slope, with_pos, mat_dtype):
     # NOTE per-COLUMN scalars (ac) arrive TRANSPOSED as [H, C] and are read
     # by ROW: building [1, Ct] lane vectors from column reads of a [Ct, H]
     # block sends the Mosaic layout search into the weeds (hours-long or
     # non-terminating compiles once several such reads appear).
-    t = pl.program_id(1)
+    t = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(fi_ref[t] == 1)
     def _():
         m_ref[:] = jnp.full_like(m_ref, jnp.float32(NEG))
         l_ref[:] = jnp.zeros_like(l_ref)
@@ -69,7 +103,7 @@ def _gat_fwd_kernel(ar_ref, ac_ref, x_ref, mb_ref,
         if with_pos:
             accp_ref[:] = jnp.zeros_like(accp_ref)
 
-    mask = unpack_mask(mb_ref[:]) > 0  # [Rt, Ct] bool
+    mask = unpack_mask(mb_ref[0]) > 0  # [Rt, Ct] bool
     for h in range(H):
         ar_h = ar_ref[:, h][:, None]  # [Rt, 1]
         ac_h = ac_ref[h, :][None, :]  # [1, Ct] (row read of [H, C])
@@ -96,16 +130,16 @@ def _gat_fwd_kernel(ar_ref, ac_ref, x_ref, mb_ref,
                 accp_ref[:, h * F:(h + 1) * F] * resc + updp)
 
 
-def dense_gat_fwd(ar_d, ac_d, x_d, mask_bits, *, slope: float,
+def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
                   Rt: int = 256, Ct: int = DENSE_CT, with_pos: bool = True,
                   mat_dtype=jnp.bfloat16, interpret: bool = False):
-    """Masked-softmax aggregation over a bit-packed dense block.
+    """Masked-softmax aggregation over the tile-sparse dense block.
 
     Args:
+      db: DenseBlock carrying (mask [T, Rt, Ct//8], rc, ct, first).
       ar_d: [R, H] f32 — attn_row of the block's destination rows.
       ac_d: [C, H] f32 — attn_col of the block's source columns.
       x_d:  [C, H*F] features of source columns.
-      mask_bits: [R, C//8] uint8, bit-plane packed adjacency (graph/hub.py).
     Returns (m, l, lpos, acc, accpos): [R, H] stats and [R, H*F] weighted
     sums — the same per-segment partial tuple the binned path produces, fed
     into the log-sum-exp combine.  accpos is zeros when not ``with_pos``.
@@ -115,18 +149,14 @@ def dense_gat_fwd(ar_d, ac_d, x_d, mask_bits, *, slope: float,
     HF = x_d.shape[-1]
     F = HF // H
     assert R % Rt == 0 and C % Ct == 0 and Ct % 8 == 0, (R, C, Rt, Ct)
-    n_rt, n_ct = R // Rt, C // Ct
+    rc, ct, fi, mt, mask = _sched(db)
+    T = rc.shape[0]
     ac_t = ac_d.T  # [H, C]: see kernel note on column reads
     kern = functools.partial(_gat_fwd_kernel, H=H, F=F, slope=float(slope),
                              with_pos=with_pos, mat_dtype=mat_dtype)
 
     def row_spec(w):
-        return pl.BlockSpec((Rt, w), lambda r, t: (r, 0),
-                            memory_space=pltpu.VMEM)
-
-    def col_spec(w):
-        return pl.BlockSpec((Ct, w), lambda r, t: (t, 0),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((Rt, w), lambda t, rc, ct, fi, mt: (rc[t], 0))
 
     out_shape = [
         jax.ShapeDtypeStruct((R, H), jnp.float32),   # m
@@ -135,26 +165,27 @@ def dense_gat_fwd(ar_d, ac_d, x_d, mask_bits, *, slope: float,
         jax.ShapeDtypeStruct((R, HF), jnp.float32),  # acc
         jax.ShapeDtypeStruct((R, HF), jnp.float32),  # accpos
     ]
-    return pl.pallas_call(
-        kern,
-        grid=(n_rt, n_ct),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
         in_specs=[
-            row_spec(H),                                   # ar
-            pl.BlockSpec((H, Ct), lambda r, t: (0, t),
-                         memory_space=pltpu.VMEM),         # ac^T
-            col_spec(HF),                                  # x
-            pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
-                         memory_space=pltpu.VMEM),         # mask bits
+            row_spec(H),                                               # ar
+            pl.BlockSpec((H, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
+            pl.BlockSpec((Ct, HF), lambda t, rc, ct, fi, mt: (ct[t], 0)),
+            pl.BlockSpec((1, Rt, Ct // 8),
+                         lambda t, rc, ct, fi, mt: (mt[t], 0, 0)),     # mask
         ],
-        out_shape=out_shape,
         out_specs=[row_spec(H), row_spec(H), row_spec(H), row_spec(HF),
                    row_spec(HF)],
-        interpret=interpret,
-    )(ar_d, ac_t, x_d, mask_bits)
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        compiler_params=_PARAMS, interpret=interpret,
+    )(rc, ct, fi, mt, ar_d, ac_t, x_d, mask)
 
 
-def _gat_bwd_kernel(ac_ref, x_ref, g_ref, gt_ref, st_ref,
-                    mb_ref, dx_ref, dac_ref, *, H, F, slope,
+def _gat_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ac_ref, x_ref, g_ref,
+                    gt_ref, st_ref, mb_ref, dx_ref, dac_ref, *, H, F, slope,
                     mat_dtype):
     """Dense-block half of GAT pass B (transposed layout).
 
@@ -169,14 +200,14 @@ def _gat_bwd_kernel(ac_ref, x_ref, g_ref, gt_ref, st_ref,
     (Reference analogue: mhspmm_backward_kernel + the grad_attn_col
     atomicAdd, fused_gatconv_kernel.cu:712-763, :957.)
     """
-    t = pl.program_id(1)
+    t = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(fi_ref[t] == 1)
     def _():
         dx_ref[:] = jnp.zeros_like(dx_ref)
         dac_ref[:] = jnp.zeros_like(dac_ref)
 
-    mask = unpack_mask(mb_ref[:]) > 0
+    mask = unpack_mask(mb_ref[0]) > 0
     for h in range(H):
         g_h = g_ref[:, h * F:(h + 1) * F]          # [Ct, F]
         ar_c = st_ref[h, :][None, :]               # [1, Ct] (row reads)
@@ -202,15 +233,15 @@ def _gat_bwd_kernel(ac_ref, x_ref, g_ref, gt_ref, st_ref,
         dac_ref[:, h] += jnp.sum(jnp.where(mask, u, 0.0), axis=1)
 
 
-def dense_gat_bwd(ac_d, x_d, g_d, st_d, mask_bits, *,
+def dense_gat_bwd(db, ac_d, x_d, g_d, st_d, *,
                   slope: float, H: int, Rt: int = 256, Ct: int = DENSE_CT,
                   mat_dtype=jnp.bfloat16, interpret: bool = False):
     """Dense-block dX / d attn_col partials over the transposed block.
 
+    db: the BACKWARD direction's DenseBlock (tile schedule + masks);
     ac_d: [R, H] attn_col of source rows; x_d: [R, H*F] source features;
     g_d: [C, H*F] grad_out per destination; st_d: [C, 4H] packed
-    per-destination softmax scalars [ar | M | L | ws];
-    mask_bits: [R, C//8] uint8 (transposed-block adjacency, bit-plane).
+    per-destination softmax scalars [ar | M | L | ws].
     Returns (dx [R, H*F], dac [R, H]).
     """
     R = ac_d.shape[0]
@@ -218,38 +249,40 @@ def dense_gat_bwd(ac_d, x_d, g_d, st_d, mask_bits, *,
     HF = x_d.shape[-1]
     F = HF // H
     assert R % Rt == 0 and C % Ct == 0, (R, C, Rt, Ct)
+    rc, ct, fi, mt, mask = _sched(db)
+    T = rc.shape[0]
     g_t = g_d.T.astype(mat_dtype)  # [HF, C] once per pass (see kernel note)
     st_t = st_d.T.astype(jnp.float32)  # [4H, C] (see kernel note)
     kern = functools.partial(_gat_bwd_kernel, H=H, F=F, slope=float(slope),
                              mat_dtype=mat_dtype)
 
     def row_spec(w):
-        return pl.BlockSpec((Rt, w), lambda r, t: (r, 0),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((Rt, w), lambda t, rc, ct, fi, mt: (rc[t], 0))
 
     def col_spec(w):
-        return pl.BlockSpec((Ct, w), lambda r, t: (t, 0),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((Ct, w), lambda t, rc, ct, fi, mt: (ct[t], 0))
 
-    return pl.pallas_call(
-        kern,
-        grid=(R // Rt, C // Ct),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
         in_specs=[
-            row_spec(H),                                    # ac
-            row_spec(HF),                                   # x
-            col_spec(HF),                                   # g
-            pl.BlockSpec((HF, Ct), lambda r, t: (0, t),
-                         memory_space=pltpu.VMEM),          # g^T
-            pl.BlockSpec((4 * H, Ct), lambda r, t: (0, t),
-                         memory_space=pltpu.VMEM),          # stats^T
-            pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
-                         memory_space=pltpu.VMEM),          # mask bits
+            row_spec(H),                                               # ac
+            row_spec(HF),                                              # x
+            col_spec(HF),                                              # g
+            pl.BlockSpec((HF, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
+            pl.BlockSpec((4 * H, Ct),
+                         lambda t, rc, ct, fi, mt: (0, ct[t])),   # stats^T
+            pl.BlockSpec((1, Rt, Ct // 8),
+                         lambda t, rc, ct, fi, mt: (mt[t], 0, 0)),     # mask
         ],
+        out_specs=[row_spec(HF), row_spec(H)],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((R, HF), jnp.float32),
                    jax.ShapeDtypeStruct((R, H), jnp.float32)],
-        out_specs=[row_spec(HF), row_spec(H)],
-        interpret=interpret,
-    )(ac_d, x_d, g_d, g_t, st_t, mask_bits)
+        compiler_params=_PARAMS, interpret=interpret,
+    )(rc, ct, fi, mt, ac_d, x_d, g_d, g_t, st_t, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -264,15 +297,16 @@ def dense_gat_bwd(ac_d, x_d, g_d, st_d, mask_bits, *,
 # streams materialized per-edge pseudo instead.
 
 
-def _gmm_fwd_kernel(beta_ref, alpha_ref, x_ref, mb_ref, mu_ref, isig_ref,
-                    acc_ref, *, K, D, F, use_tanh, mat_dtype):
-    t = pl.program_id(1)
+def _gmm_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, beta_ref, alpha_ref,
+                    x_ref, mb_ref, mu_ref, isig_ref, acc_ref, *, K, D, F,
+                    use_tanh, mat_dtype):
+    t = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(fi_ref[t] == 1)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    mask = unpack_mask(mb_ref[:]) > 0
+    mask = unpack_mask(mb_ref[0]) > 0
     p_d = []
     for d in range(D):
         # alpha arrives transposed [D, C]: row reads only (see GAT kernels)
@@ -290,10 +324,10 @@ def _gmm_fwd_kernel(beta_ref, alpha_ref, x_ref, mb_ref, mu_ref, isig_ref,
             preferred_element_type=jnp.float32)
 
 
-def dense_gmm_fwd(beta_r, alpha_c, x_c, mask_bits, mu, isig, *,
+def dense_gmm_fwd(db, beta_r, alpha_c, x_c, mu, isig, *,
                   use_tanh: bool, Rt: int = 256, Ct: int = DENSE_CT,
                   mat_dtype=jnp.bfloat16, interpret: bool = False):
-    """Gaussian-weighted aggregation over a dense block.
+    """Gaussian-weighted aggregation over the tile-sparse dense block.
 
     beta_r: [R, D] destination-side projected pseudo (bias folded in);
     alpha_c: [C, D] source-side projected pseudo; x_c: [C, K*F] features;
@@ -305,60 +339,59 @@ def dense_gmm_fwd(beta_r, alpha_c, x_c, mask_bits, mu, isig, *,
     K = mu.shape[0]
     F = KF // K
     assert R % Rt == 0 and C % Ct == 0
+    rc, ct, fi, mt, mask = _sched(db)
+    T = rc.shape[0]
     alpha_t = alpha_c.T.astype(jnp.float32)  # [D, C]
     kern = functools.partial(_gmm_fwd_kernel, K=K, D=D, F=F,
                              use_tanh=bool(use_tanh), mat_dtype=mat_dtype)
 
     def row_spec(w):
-        return pl.BlockSpec((Rt, w), lambda r, t: (r, 0),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((Rt, w), lambda t, rc, ct, fi, mt: (rc[t], 0))
 
-    def col_spec(w):
-        return pl.BlockSpec((Ct, w), lambda r, t: (t, 0),
-                            memory_space=pltpu.VMEM)
-
-    return pl.pallas_call(
-        kern,
-        grid=(R // Rt, C // Ct),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
         in_specs=[
-            row_spec(D),                                    # beta (dst rows)
-            pl.BlockSpec((D, Ct), lambda r, t: (0, t),
-                         memory_space=pltpu.VMEM),          # alpha^T
-            col_spec(KF),                                   # x
-            pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
-                         memory_space=pltpu.VMEM),          # mask
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # mu
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # isig
+            row_spec(D),                                        # beta (dst)
+            pl.BlockSpec((D, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
+            pl.BlockSpec((Ct, KF), lambda t, rc, ct, fi, mt: (ct[t], 0)),
+            pl.BlockSpec((1, Rt, Ct // 8),
+                         lambda t, rc, ct, fi, mt: (mt[t], 0, 0)),  # mask
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # mu
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # isig
         ],
-        out_shape=jax.ShapeDtypeStruct((R, KF), jnp.float32),
         out_specs=row_spec(KF),
-        interpret=interpret,
-    )(beta_r, alpha_t, x_c, mask_bits, mu, isig)
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, KF), jnp.float32),
+        compiler_params=_PARAMS, interpret=interpret,
+    )(rc, ct, fi, mt, beta_r, alpha_t, x_c, mask, mu, isig)
 
 
-def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, g_ref, gt_ref, df_ref,
-                    mb_ref, mu_ref, isig_ref, dx_ref, st_ref, *, K, D, Dd, F,
-                    use_tanh, mat_dtype):
+def _gmm_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, alpha_ref, beta_ref,
+                    x_ref, g_ref, gt_ref, df_ref, mb_ref, mu_ref, isig_ref,
+                    dx_ref, st_ref, *, K, D, Dd, F, use_tanh, mat_dtype):
     """Transposed-block GMM backward: rows = sources, cols = destinations.
 
-    g_ref: [Ct, K*F] grad_out; df_ref: [Ct, Dd] dst-side raw pseudo (narrow
-    separate block — scalar-column reads from wide VMEM blocks hang Mosaic).
-    st_ref row-stat layout (per source row, summed over its dense edges):
+    g_ref: [Ct, K*F] grad_out; df_ref: [Dd, Ct] dst-side raw pseudo
+    TRANSPOSED (row reads only).  st_ref row-stat layout (per source row,
+    summed over its dense edges):
       [0:KD)        sum c_k t_kd                  (-> dmu via * isig)
       [KD:2KD)      sum c_k t_kd (p_d - mu_kd)    (-> disg via * -1)
       [2KD:2KD+D)   sum dpre_d                    (-> dpb; dpw src part)
       [2KD+D:2KD+D+D*Dd) sum dpre_d * dfeat_i     (-> dpw dst part)
     with c_k = w_k <x_r, g_c>, dpre the grad wrt the pre-tanh projection.
     """
-    t = pl.program_id(1)
+    t = pl.program_id(0)
     KD = K * D
 
-    @pl.when(t == 0)
+    @pl.when(fi_ref[t] == 1)
     def _():
         dx_ref[:] = jnp.zeros_like(dx_ref)
         st_ref[:] = jnp.zeros_like(st_ref)
 
-    mask = unpack_mask(mb_ref[:]) > 0
+    mask = unpack_mask(mb_ref[0]) > 0
     p_d = []
     for d in range(D):
         # beta arrives transposed [D, C]: row reads only (see GAT kernels)
@@ -397,13 +430,15 @@ def _gmm_bwd_kernel(alpha_ref, beta_ref, x_ref, g_ref, gt_ref, df_ref,
             st_ref[:, 2 * KD + D + d * Dd + i] += jnp.sum(dpre * df_i, axis=1)
 
 
-def dense_gmm_bwd(alpha_r, beta_c, x_r, g_c, df_c, mask_bits, mu, isig, *,
+def dense_gmm_bwd(db, alpha_r, beta_c, x_r, g_c, df_c, mu, isig, *,
                   use_tanh: bool, Rt: int = 128, Ct: int = DENSE_CT,
                   mat_dtype=jnp.bfloat16, interpret: bool = False):
     # default Rt=128: the K*D unrolled temporaries ([Rt, Ct] f32 each) put
-    # Rt=256 just past the 16MB VMEM scoped limit at K=D=2
-    """Dense-block GMM backward partials (see _gmm_bwd_kernel).
+    # Rt=256 just past the 16MB VMEM scoped limit at K=D=2, hence the
+    # half-granularity schedule (_sched_half)
+    """Tile-sparse dense GMM backward partials (see _gmm_bwd_kernel).
 
+    db: the BACKWARD direction's DenseBlock.
     alpha_r: [R, D] source-side projection; beta_c: [C, D] dest-side;
     x_r: [R, K*F] source features; g_c: [C, K*F] grad_out;
     df_c: [C, Dd] dst-side raw pseudo; mu/isig: [K, D].
@@ -416,6 +451,13 @@ def dense_gmm_bwd(alpha_r, beta_c, x_r, g_c, df_c, mask_bits, mu, isig, *,
     F = KF // K
     Dd = df_c.shape[-1]
     ns = 2 * K * D + D + D * Dd
+    if Rt < db.mask.shape[1]:
+        rc, ct, fi, mt, mask = _sched_half(db)
+        Rt = db.mask.shape[1] // 2
+    else:
+        rc, ct, fi, mt, mask = _sched(db)
+        Rt = db.mask.shape[1]
+    T = rc.shape[0]
     g_t = g_c.T.astype(mat_dtype)  # [KF, C] once per pass (see kernel note)
     beta_t = beta_c.T.astype(jnp.float32)  # [D, C]
     df_t = df_c.T.astype(jnp.float32)  # [Dd, C]
@@ -423,33 +465,28 @@ def dense_gmm_bwd(alpha_r, beta_c, x_r, g_c, df_c, mask_bits, mu, isig, *,
                              use_tanh=bool(use_tanh), mat_dtype=mat_dtype)
 
     def row_spec(w):
-        return pl.BlockSpec((Rt, w), lambda r, t: (r, 0),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((Rt, w), lambda t, rc, ct, fi, mt: (rc[t], 0))
 
-    def col_spec(w):
-        return pl.BlockSpec((Ct, w), lambda r, t: (t, 0),
-                            memory_space=pltpu.VMEM)
-
-    return pl.pallas_call(
-        kern,
-        grid=(R // Rt, C // Ct),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
         in_specs=[
-            row_spec(D),                                    # alpha (src rows)
-            pl.BlockSpec((D, Ct), lambda r, t: (0, t),
-                         memory_space=pltpu.VMEM),          # beta^T
-            row_spec(KF),                                   # x (src rows)
-            col_spec(KF),                                   # g (dst cols)
-            pl.BlockSpec((KF, Ct), lambda r, t: (0, t),
-                         memory_space=pltpu.VMEM),          # g^T
-            pl.BlockSpec((Dd, Ct), lambda r, t: (0, t),
-                         memory_space=pltpu.VMEM),          # dfeat^T
-            pl.BlockSpec((Rt, Ct // 8), lambda r, t: (r, t),
-                         memory_space=pltpu.VMEM),          # mask
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # mu
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # isig
+            row_spec(D),                                        # alpha (src)
+            pl.BlockSpec((D, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
+            row_spec(KF),                                       # x (src)
+            pl.BlockSpec((Ct, KF), lambda t, rc, ct, fi, mt: (ct[t], 0)),
+            pl.BlockSpec((KF, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
+            pl.BlockSpec((Dd, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
+            pl.BlockSpec((1, Rt, Ct // 8),
+                         lambda t, rc, ct, fi, mt: (mt[t], 0, 0)),  # mask
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # mu
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # isig
         ],
+        out_specs=[row_spec(KF), row_spec(ns)],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((R, KF), jnp.float32),
                    jax.ShapeDtypeStruct((R, ns), jnp.float32)],
-        out_specs=[row_spec(KF), row_spec(ns)],
-        interpret=interpret,
-    )(alpha_r, beta_t, x_r, g_c, g_t, df_t, mask_bits, mu, isig)
+        compiler_params=_PARAMS, interpret=interpret,
+    )(rc, ct, fi, mt, alpha_r, beta_t, x_r, g_c, g_t, df_t, mask, mu, isig)

@@ -34,11 +34,11 @@ def main(old_path, new_path):
         t1 = time.time()
         sel = hub.plan_dense(rp, ci, opp_deg)
         assert sel is not None, "expected a dense block at this scale"
-        R, C, rows_sel, cols_sel = sel
-        print(f"{tag}: dense block R={R} C={C} ({time.time()-t1:.0f}s)",
-              flush=True)
+        rows_sel, cols_sel, keep_tiles = sel
+        print(f"{tag}: kept tiles {int(keep_tiles.sum())} "
+              f"({time.time()-t1:.0f}s)", flush=True)
         plan, rp2, ci2, keep = hub.build_dense_numpy(rp, ci, rows_sel,
-                                                     cols_sel)
+                                                     cols_sel, keep_tiles)
         print(f"{tag}: mask built, residual edges {len(ci2)} "
               f"({time.time()-t1:.0f}s)", flush=True)
         w = binning.auto_widths(np.diff(rp2))
