@@ -162,6 +162,36 @@ def combine_table(rows_concat: np.ndarray, num_rows: int,
     tbl[sorted_rows, slot] = pos[order].astype(np.int32)
     return tbl
 
+
+def combine_tables(rows_concat: np.ndarray, num_rows: int,
+                   valid: np.ndarray | None = None):
+    """Capped-width combine table + tiny overflow table.
+
+    The [R, K]-gather merge pays K gathered rows for EVERY row, but K is set
+    by the single worst row (a split mega-row can have 8+ segments while
+    ~99.9% of rows have 1-2): on the Reddit-scale R-MAT the full table is
+    [233k, 9] while all but 19 rows fit K=2 — 4.5x the necessary rate-bound
+    gather rows on every merge.  Returns ``(main [R, Km], ov_rows [V],
+    ov [V, K])``: ``main`` holds rows with <= Km partials (Km = smallest
+    width covering all but <=0.1% of rows); the V overflow rows have -1s in
+    ``main`` and their full lists in ``ov`` (merged separately — V is tiny).
+    """
+    tbl = combine_table(rows_concat, num_rows, valid)
+    k = tbl.shape[1]
+    counts = (tbl >= 0).sum(axis=1)
+    max_ov = max(64, num_rows // 1000)
+    km = k
+    for cand in range(1, k):
+        if int((counts > cand).sum()) <= max_ov:
+            km = cand
+            break
+    ov_rows = np.nonzero(counts > km)[0].astype(np.int32)
+    ov = tbl[ov_rows]
+    main = tbl[:, :km].copy()
+    main[ov_rows] = -1
+    return main, ov_rows, ov
+
+
 # Segments-per-bin padding so sublane dims stay aligned for Pallas kernels.
 _SEG_PAD = 8
 

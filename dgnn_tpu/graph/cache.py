@@ -13,7 +13,7 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-from .structure import BinnedAdj, DenseBlock, Graph
+from .structure import BinnedAdj, CombineTable, DenseBlock, Graph
 
 __all__ = ["save_graph", "load_graph"]
 
@@ -28,7 +28,9 @@ def _pack_binned(prefix: str, adj: BinnedAdj, store: dict, meta: dict):
         store[f"{prefix}_row_{i}"] = np.asarray(adj.row[i])
         store[f"{prefix}_count_{i}"] = np.asarray(adj.count[i])
     if adj.cmb is not None:
-        store[f"{prefix}_cmb"] = np.asarray(adj.cmb)
+        store[f"{prefix}_cmb"] = np.asarray(adj.cmb.main)
+        store[f"{prefix}_cmb_ov_rows"] = np.asarray(adj.cmb.ov_rows)
+        store[f"{prefix}_cmb_ov"] = np.asarray(adj.cmb.ov)
     if adj.dense is not None:
         d = adj.dense
         store[f"{prefix}_dense_row_ids"] = np.asarray(d.row_ids)
@@ -60,8 +62,10 @@ def _unpack_binned(prefix: str, z, meta: dict) -> BinnedAdj:
                    for i in range(nbins)),
         row=tuple(jnp.asarray(z[f"{prefix}_row_{i}"]) for i in range(nbins)),
         count=tuple(jnp.asarray(z[f"{prefix}_count_{i}"]) for i in range(nbins)),
-        cmb=(jnp.asarray(z[f"{prefix}_cmb"]) if f"{prefix}_cmb" in z.files
-             else None),
+        cmb=(CombineTable(main=jnp.asarray(z[f"{prefix}_cmb"]),
+                          ov_rows=jnp.asarray(z[f"{prefix}_cmb_ov_rows"]),
+                          ov=jnp.asarray(z[f"{prefix}_cmb_ov"]))
+             if f"{prefix}_cmb" in z.files else None),
         dense=dense,
         widths=tuple(m["widths"]),
         num_rows=m["num_rows"],

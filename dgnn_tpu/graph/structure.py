@@ -19,8 +19,25 @@ import numpy as np
 from . import binning as _binning
 from . import build as _build
 
-__all__ = ["BinnedAdj", "DenseBlock", "Graph", "build_graph",
+__all__ = ["BinnedAdj", "CombineTable", "DenseBlock", "Graph", "build_graph",
            "build_graph_from_csr", "from_binned"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CombineTable:
+    """Scatter-free segment-merge structure (binning.combine_tables).
+
+    ``main`` is the [N, Km] position table covering all rows with <= Km
+    partials (Km is capped at the ~99.9th-percentile segment count, not the
+    max — the merge gather pays Km rate-bound rows per graph row, so one
+    9-segment mega-row must not widen every row's gather).  The few rows
+    with more partials are -1 in ``main``; their full lists live in the
+    [V, K] ``ov`` table, merged separately and patched in by row id."""
+
+    main: jax.Array     # [N, Km] int32 positions, -1 padded
+    ov_rows: jax.Array  # [V] int32 overflow row ids (V ~ 0)
+    ov: jax.Array       # [V, K] int32 positions, -1 padded
 
 
 @jax.tree_util.register_dataclass
@@ -113,8 +130,11 @@ def from_binned(b: _binning.BinnedCSR, with_cmb: bool = True,
             v = np.zeros(len(dense.row_ids), bool)
             v[:dense.num_rows] = True
             valid.append(v)
-        cmb = jnp.asarray(_binning.combine_table(
-            np.concatenate(rows_concat), b.num_rows, np.concatenate(valid)))
+        main, ov_rows, ov = _binning.combine_tables(
+            np.concatenate(rows_concat), b.num_rows, np.concatenate(valid))
+        cmb = CombineTable(main=jnp.asarray(main),
+                           ov_rows=jnp.asarray(ov_rows),
+                           ov=jnp.asarray(ov))
     return BinnedAdj(
         nbr=tuple(jnp.asarray(x) for x in b.nbr),
         edge=(tuple(jnp.asarray(x) for x in b.edge) if with_edge

@@ -156,37 +156,85 @@ def scan_chunked(fn, args, num_rows: int, chunk: int, accum_init):
     return stacked, accum
 
 
-def combine_sum(cmb: jax.Array, vals: jax.Array) -> jax.Array:
-    """Scatter-free segment merge: out[r] = sum over row r's K partials.
+def _merge_sum(tbl, zcat, widths):
+    """Masked K-way sum over ONE gathered concat row, split back per part."""
+    mask = tbl >= 0
+    g = zcat[jnp.maximum(tbl, 0)]  # [R, K, sum(widths)]
+    s = jnp.sum(jnp.where(mask[..., None], g, 0), axis=1)  # [R, sum]
+    outs, off = [], 0
+    for w in widths:
+        outs.append(s[..., off:off + w])
+        off += w
+    return outs
 
-    cmb: [N, K] positions into the concatenated per-segment ``vals``
-    (-1 padded; binning.combine_table); an [N, K] gather + masked reduce —
-    never a segment_sum (XLA's segment ops are ~100x off streaming rate).
+
+def combine_sum(cmb, vals):
+    """Scatter-free segment merge: out[r] = sum over row r's partials.
+
+    ``cmb`` is a graph.CombineTable: positions into the concatenated
+    per-segment partial rows — an [N, Km] gather + masked reduce, never a
+    segment_sum (XLA's segment ops are ~100x off streaming rate).  The few
+    overflow rows (more partials than the capped Km) merge through the tiny
+    [V, K] side table and are patched in by row id.
+
+    ``vals``: one [S, ...] array or a list of them.  Gathers are rate-bound
+    per ROW, so a list is merged via ONE gather of the concatenated rows —
+    n_parts x cheaper than per-part gathers.  Returns matching structure.
     """
-    mask = cmb >= 0
-    g = vals[jnp.maximum(cmb, 0)]  # [N, K, ...]
-    mshape = mask.shape + (1,) * (g.ndim - 2)
-    return jnp.sum(jnp.where(mask.reshape(mshape), g, 0), axis=1)
+    single = not isinstance(vals, (list, tuple))
+    parts = [vals] if single else list(vals)
+    shapes = [p.shape[1:] for p in parts]
+    flat = [p.reshape(p.shape[0], -1) for p in parts]
+    widths = [p.shape[1] for p in flat]
+    zcat = flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=1)
+    outs = _merge_sum(cmb.main, zcat, widths)
+    if cmb.ov_rows.shape[0]:
+        outs_ov = _merge_sum(cmb.ov, zcat, widths)
+        outs = [o.at[cmb.ov_rows].set(ov) for o, ov in zip(outs, outs_ov)]
+    outs = [o.reshape((o.shape[0],) + sh) for o, sh in zip(outs, shapes)]
+    return outs[0] if single else outs
 
 
-def combine_lse(cmb: jax.Array, m: jax.Array, parts) -> jax.Array:
+def _merge_lse(tbl, zcat, H, widths):
+    """LSE-rescaled masked K-way sum over ONE gathered concat row
+    ([m | parts...]); every part width is a multiple of H (per-head
+    scalars or [H, F] blocks) so the exp(m - M) scale broadcasts by
+    repetition along the concat axis."""
+    mask = tbl >= 0
+    g = zcat[jnp.maximum(tbl, 0)]  # [R, K, H + sum(widths)]
+    m_g = jnp.where(mask[..., None], g[..., :H], NEG_INF)  # [R, K, H]
+    M = jnp.max(m_g, axis=1)  # [R, H]
+    M0 = jnp.where(jnp.isneginf(M), 0.0, M)
+    scale = jnp.where(jnp.isneginf(m_g), 0.0, jnp.exp(m_g - M0[:, None, :]))
+    outs, off = [], H
+    for w in widths:
+        blk = g[..., off:off + w]
+        off += w
+        s = scale if w == H else jnp.repeat(scale, w // H, axis=-1)
+        outs.append(jnp.sum(blk * s, axis=1))
+    return M0, outs
+
+
+def combine_lse(cmb, m: jax.Array, parts):
     """Log-sum-exp segment merge over combine-table positions.
 
     m: [S, H] per-segment maxima (NEG_INF for empty).  ``parts``: list of
     per-segment arrays ([S, H] or [S, H, F]) to be rescaled by
-    exp(m - M_row) and summed.  Returns (M [N, H], merged parts...).
-    """
-    mask = cmb >= 0
-    idx = jnp.maximum(cmb, 0)
-    m_g = jnp.where(mask[..., None], m[idx], NEG_INF)  # [N, K, H]
-    M = jnp.max(m_g, axis=1)  # [N, H]
-    M0 = jnp.where(jnp.isneginf(M), 0.0, M)
-    scale = jnp.where(jnp.isneginf(m_g), 0.0, jnp.exp(m_g - M0[:, None, :]))
-    outs = []
-    for p in parts:
-        g = p[idx]  # [N, K, H(, F)]
-        s = scale if g.ndim == 3 else scale[..., None]
-        outs.append(jnp.sum(g * s, axis=1))
+    exp(m - M_row) and summed.  All parts (and m) ride ONE gathered
+    concatenated row per table entry (rate-bound rows, so per-part gathers
+    would multiply the merge cost by len(parts)+1).  Returns
+    (M [N, H], merged parts...)."""
+    H = m.shape[-1]
+    shapes = [p.shape[1:] for p in parts]
+    flat = [p.reshape(p.shape[0], -1) for p in parts]
+    widths = [p.shape[1] for p in flat]
+    zcat = jnp.concatenate([m] + flat, axis=1)
+    M0, outs = _merge_lse(cmb.main, zcat, H, widths)
+    if cmb.ov_rows.shape[0]:
+        M_ov, outs_ov = _merge_lse(cmb.ov, zcat, H, widths)
+        M0 = M0.at[cmb.ov_rows].set(M_ov)
+        outs = [o.at[cmb.ov_rows].set(ov) for o, ov in zip(outs, outs_ov)]
+    outs = [o.reshape((o.shape[0],) + sh) for o, sh in zip(outs, shapes)]
     return M0, outs
 
 

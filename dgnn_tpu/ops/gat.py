@@ -73,9 +73,11 @@ def _segment_sum(x, ids, n):
     return jax.ops.segment_sum(x, ids, num_segments=n)
 
 
-def _recompute_attn(mask, s, M_rows, L_rows):
-    """Per-slot softmax weight a_e = exp(s - M_row) / L_row, masked."""
-    a = jnp.exp(s - M_rows) / jnp.maximum(L_rows, 1e-20)
+def _recompute_attn(mask, s, M_rows, Linv_rows):
+    """Per-slot softmax weight a_e = exp(s - M_row) * Linv_row, masked.
+    Linv = 1/max(L, eps) is precomputed once per destination (a multiply
+    per slot instead of a divide)."""
+    a = jnp.exp(s - M_rows) * Linv_rows
     return jnp.where(mask[..., None], a, 0.0)
 
 
@@ -264,10 +266,10 @@ def _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L, ws, feat, zcat,
         sc = z[..., HF:].astype(jnp.float32)
         ar_i = sc[..., :H]
         M_i = sc[..., H:2 * H]
-        L_i = sc[..., 2 * H:3 * H]
+        Li_i = sc[..., 2 * H:3 * H]  # 1 / max(L, eps), precomputed
         ws_i = sc[..., 3 * H:]
         s_raw = ar_i + ac[row_c][:, None, :]  # [S, W, H]
-        a = _recompute_attn(mask, leaky_relu(s_raw, slope), M_i, L_i)
+        a = _recompute_attn(mask, leaky_relu(s_raw, slope), M_i, Li_i)
         ah = (a * pair_keep(seed, nbr_c, row_c[:, None], H, p)
               if (training and p > 0) else a)
         dx_p = jnp.einsum("swh,swhf->shf", ah, gi,
@@ -324,7 +326,8 @@ def _gat_fused_bwd(slope, p, training, dense_dtype, res, g_out):
     d_ar = (t1 - ws * t2).astype(ar.dtype)
 
     # Pass B over transposed (CSC) bins: dX and d attn_col, per-source sums.
-    zcat = _concat_rows(g_out, ar, M, L, ws)
+    Linv = 1.0 / jnp.maximum(L, 1e-20)  # once per dst: slots multiply
+    zcat = _concat_rows(g_out, ar, M, Linv, ws)
     dx_parts, dac_parts, rows_b = [], [], []
     for width, nbr, edge, row, count in adj_bwd.bins():
         dxp, dacp = _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L,
@@ -351,10 +354,11 @@ def _gat_fused_bwd(slope, p, training, dense_dtype, res, g_out):
         dx_parts.append(dxp.reshape(-1, H, F))
         dac_parts.append(dacp)
     if adj_bwd.cmb is not None:
-        d_feat = combine_sum(adj_bwd.cmb,
-                             jnp.concatenate(dx_parts)).astype(feat.dtype)
-        d_ac = combine_sum(adj_bwd.cmb,
-                           jnp.concatenate(dac_parts)).astype(ac.dtype)
+        # ONE [N, Km]-row merge gather for both outputs (rate-bound rows)
+        d_feat, d_ac = combine_sum(adj_bwd.cmb, [jnp.concatenate(dx_parts),
+                                                 jnp.concatenate(dac_parts)])
+        d_feat = d_feat.astype(feat.dtype)
+        d_ac = d_ac.astype(ac.dtype)
     else:
         rows_b = jnp.concatenate(rows_b)
         d_feat = _segment_sum(jnp.concatenate(dx_parts), rows_b,

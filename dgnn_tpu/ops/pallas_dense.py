@@ -92,42 +92,62 @@ def _gat_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ar_ref, ac_ref, x_ref,
     # by ROW: building [1, Ct] lane vectors from column reads of a [Ct, H]
     # block sends the Mosaic layout search into the weeds (hours-long or
     # non-terminating compiles once several such reads appear).
+    #
+    # The kernels are VPU-issue-bound (the per-pair elementwise ops dominate
+    # the 2HF-FLOP/pair MXU work), so the whole online-softmax machinery is
+    # eliminated in favor of an EXACT precomputed per-row score bound:
+    # bound_r = leaky(ar_r + max_c ac_c) >= every score in row r (leaky is
+    # monotonic), passed in as columns [H:2H) of the ar block.  Partials are
+    # plain sums of p = exp(s - bound) — no running max, no rescale chain
+    # (whose reduce->exp->multiply dependency also serializes the VPU) —
+    # and the emitted per-row stat m = bound feeds the LSE combine as usual.
+    # exp(s - bound) underflows only when a row's score SPREAD exceeds ~87
+    # (f32 exp range) — far beyond trained GAT scores; the binned residual
+    # path keeps exact per-segment maxima regardless.
+    #
+    # Two more VPU eliminations: leaky = max(s, slope*s) (slope in [0, 1))
+    # and an ADDITIVE mask (s + NEG, so exp == 0 on masked slots) replace
+    # all per-head selects; the l/lpos row sums ride the aggregation matmul
+    # as an appended all-ones feature column ([Ct, F] pads to the 128-wide
+    # MXU tile anyway, so the extra column is free MXU work instead of a
+    # [Rt, Ct] VPU reduce per head).
     t = pl.program_id(0)
 
     @pl.when(fi_ref[t] == 1)
     def _():
-        m_ref[:] = jnp.full_like(m_ref, jnp.float32(NEG))
+        m_ref[:] = ar_ref[:, H:]  # emit m = bound (see above)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         lp_ref[:] = jnp.zeros_like(lp_ref)
         if with_pos:
             accp_ref[:] = jnp.zeros_like(accp_ref)
 
-    mask = unpack_mask(mb_ref[0]) > 0  # [Rt, Ct] bool
+    mneg = jnp.where(unpack_mask(mb_ref[0]) > 0, 0.0, NEG)  # [Rt, Ct]
+    rt = mneg.shape[0]
+    Fa = F + 1  # per-head feature block incl. the ones column
     for h in range(H):
-        ar_h = ar_ref[:, h][:, None]  # [Rt, 1]
-        ac_h = ac_ref[h, :][None, :]  # [1, Ct] (row read of [H, C])
-        s = ar_h + ac_h
-        s = jnp.where(s >= 0, s, s * slope)
-        s = jnp.where(mask, s, NEG)
-        m_old = m_ref[:, h][:, None]  # [Rt, 1]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-        ptile = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # [Rt, Ct]
-        resc = jnp.exp(m_old - m_new)  # [Rt, 1]
-        m_ref[:, h] = m_new[:, 0]
-        l_ref[:, h] = l_ref[:, h] * resc[:, 0] + jnp.sum(ptile, axis=1)
-        x_h = x_ref[:, h * F:(h + 1) * F]  # [Ct, F]
-        upd = jax.lax.dot(ptile.astype(mat_dtype), x_h.astype(mat_dtype),
-                          preferred_element_type=jnp.float32)
-        acc_ref[:, h * F:(h + 1) * F] = (
-            acc_ref[:, h * F:(h + 1) * F] * resc + upd)
+        ar_h = ar_ref[:, h][:, None]      # [Rt, 1]
+        bnd_h = ar_ref[:, H + h][:, None]  # [Rt, 1] per-row score bound
+        ac_h = ac_ref[h, :][None, :]      # [1, Ct] (row read of [H, C])
+        s_raw = ar_h + ac_h
+        s = jnp.maximum(s_raw, s_raw * slope) + mneg
+        ptile = jnp.exp(s - bnd_h)  # [Rt, Ct]; 0 on masked slots
+        x_h = x_ref[:, h * Fa:(h + 1) * Fa].astype(mat_dtype)  # [Ct, F+1]
         if with_pos:
-            ppos = jnp.where(s >= 0, ptile, 0.0)
-            lp_ref[:, h] = lp_ref[:, h] * resc[:, 0] + jnp.sum(ppos, axis=1)
-            updp = jax.lax.dot(ppos.astype(mat_dtype), x_h.astype(mat_dtype),
-                               preferred_element_type=jnp.float32)
-            accp_ref[:, h * F:(h + 1) * F] = (
-                accp_ref[:, h * F:(h + 1) * F] * resc + updp)
+            ppos = jnp.where(s_raw >= 0, ptile, 0.0)
+            # ONE [2Rt, Ct] @ [Ct, F+1] matmul for both accumulators AND
+            # both row sums (fewer, deeper MXU issues pipeline better)
+            both = jnp.concatenate([ptile, ppos], axis=0).astype(mat_dtype)
+            upd = jax.lax.dot(both, x_h, preferred_element_type=jnp.float32)
+            acc_ref[:, h * F:(h + 1) * F] += upd[:rt, :F]
+            accp_ref[:, h * F:(h + 1) * F] += upd[rt:, :F]
+            l_ref[:, h] += upd[:rt, F]
+            lp_ref[:, h] += upd[rt:, F]
+        else:
+            upd = jax.lax.dot(ptile.astype(mat_dtype), x_h,
+                              preferred_element_type=jnp.float32)
+            acc_ref[:, h * F:(h + 1) * F] += upd[:, :F]
+            l_ref[:, h] += upd[:, F]
 
 
 def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
@@ -149,9 +169,17 @@ def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
     HF = x_d.shape[-1]
     F = HF // H
     assert R % Rt == 0 and C % Ct == 0 and Ct % 8 == 0, (R, C, Rt, Ct)
+    assert 0.0 <= slope < 1.0, slope  # leaky = max(s, slope*s) in-kernel
     rc, ct, fi, mt, mask = _sched(db)
     T = rc.shape[0]
     ac_t = ac_d.T  # [H, C]: see kernel note on column reads
+    # exact per-row score bound (kernel note): leaky(ar_r + max_c ac_c)
+    sb = ar_d + jnp.max(ac_d, axis=0)[None, :]
+    ar2 = jnp.concatenate([ar_d, jnp.maximum(sb, sb * slope)], axis=1)
+    # ones column appended per head: l rides the aggregation matmul
+    x_aug = jnp.concatenate(
+        [x_d.reshape(C, H, F),
+         jnp.ones((C, H, 1), x_d.dtype)], axis=-1).reshape(C, H * (F + 1))
     kern = functools.partial(_gat_fwd_kernel, H=H, F=F, slope=float(slope),
                              with_pos=with_pos, mat_dtype=mat_dtype)
 
@@ -169,9 +197,10 @@ def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
         num_scalar_prefetch=4,
         grid=(T,),
         in_specs=[
-            row_spec(H),                                               # ar
+            row_spec(2 * H),                                    # [ar | bound]
             pl.BlockSpec((H, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
-            pl.BlockSpec((Ct, HF), lambda t, rc, ct, fi, mt: (ct[t], 0)),
+            pl.BlockSpec((Ct, H * (F + 1)),
+                         lambda t, rc, ct, fi, mt: (ct[t], 0)),
             pl.BlockSpec((1, Rt, Ct // 8),
                          lambda t, rc, ct, fi, mt: (mt[t], 0, 0)),     # mask
         ],
@@ -181,7 +210,7 @@ def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         compiler_params=_PARAMS, interpret=interpret,
-    )(rc, ct, fi, mt, ar_d, ac_t, x_d, mask)
+    )(rc, ct, fi, mt, ar2, ac_t, x_aug, mask)
 
 
 def _gat_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ac_ref, x_ref, g_ref,
@@ -191,7 +220,7 @@ def _gat_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ac_ref, x_ref, g_ref,
 
     Rows = source nodes of the block, cols = destination nodes.
     g_ref: [Ct, H*F] grad_out of the destinations; st_ref: [4H, Ct] — the
-    per-destination scalars [ar | M | L | ws] TRANSPOSED so every per-head
+    per-destination scalars [ar | M | Linv | ws] TRANSPOSED so every per-head
     scalar vector is a ROW read (column reads that broadcast to [1, Ct]
     lane vectors make the Mosaic compile non-terminating; see fwd kernel).
       dx[r]  += sum_c a_rc g_c          (a from recomputed softmax)
@@ -207,18 +236,22 @@ def _gat_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ac_ref, x_ref, g_ref,
         dx_ref[:] = jnp.zeros_like(dx_ref)
         dac_ref[:] = jnp.zeros_like(dac_ref)
 
-    mask = unpack_mask(mb_ref[0]) > 0
+    # Additive mask + reciprocal-L stats (see fwd kernel note): a is exactly
+    # 0 on masked slots via exp(s + NEG - M), which also masks u (every u
+    # term is proportional to a) — zero per-head selects for masking, and
+    # the per-pair divide becomes a multiply (Linv is precomputed per
+    # destination by the caller).
+    mneg = jnp.where(unpack_mask(mb_ref[0]) > 0, 0.0, NEG)
     for h in range(H):
         g_h = g_ref[:, h * F:(h + 1) * F]          # [Ct, F]
         ar_c = st_ref[h, :][None, :]               # [1, Ct] (row reads)
         M_c = st_ref[H + h, :][None, :]
-        L_c = st_ref[2 * H + h, :][None, :]
+        Li_c = st_ref[2 * H + h, :][None, :]       # 1 / max(L, eps)
         ws_c = st_ref[3 * H + h, :][None, :]
         ac_r = ac_ref[:, h][:, None]               # [Rt, 1]
         s_raw = ar_c + ac_r                        # [Rt, Ct]
-        s = jnp.where(s_raw >= 0, s_raw, s_raw * slope)
-        a = jnp.exp(s - M_c) / jnp.maximum(L_c, 1e-20)
-        a = jnp.where(mask, a, 0.0)
+        s = jnp.maximum(s_raw, s_raw * slope) + mneg
+        a = jnp.exp(s - M_c) * Li_c
         dx_ref[:, h * F:(h + 1) * F] += jax.lax.dot(
             a.astype(mat_dtype), g_h.astype(mat_dtype),
             preferred_element_type=jnp.float32)
@@ -230,7 +263,7 @@ def _gat_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ac_ref, x_ref, g_ref,
             preferred_element_type=jnp.float32)    # [Rt, Ct]
         dprime = jnp.where(s_raw >= 0, 1.0, slope)
         u = a * (ge - ws_c) * dprime
-        dac_ref[:, h] += jnp.sum(jnp.where(mask, u, 0.0), axis=1)
+        dac_ref[:, h] += jnp.sum(u, axis=1)
 
 
 def dense_gat_bwd(db, ac_d, x_d, g_d, st_d, *,
@@ -241,7 +274,7 @@ def dense_gat_bwd(db, ac_d, x_d, g_d, st_d, *,
     db: the BACKWARD direction's DenseBlock (tile schedule + masks);
     ac_d: [R, H] attn_col of source rows; x_d: [R, H*F] source features;
     g_d: [C, H*F] grad_out per destination; st_d: [C, 4H] packed
-    per-destination softmax scalars [ar | M | L | ws].
+    per-destination softmax scalars [ar | M | Linv | ws].
     Returns (dx [R, H*F], dac [R, H]).
     """
     R = ac_d.shape[0]
