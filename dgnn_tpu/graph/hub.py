@@ -39,9 +39,10 @@ __all__ = ["DensePlan", "plan_dense", "build_dense_numpy", "DENSE_RT",
 DENSE_RT = 256
 
 # Measured machine constants (scripts/microbench_dense.py on v5e):
-# the fwd kernel measured 4.3e10 masked pairs/s at H=4, F=64 incl. the
-# sign-split aggregation matmuls; gathers run at ~75e6 rows/s.
-DENSE_PAIRS_PER_S = 4.0e10
+# the bound-based fwd kernel measures 7.1e10 masked pairs/s at H=4, F=64
+# incl. the sign-split aggregation matmuls (bwd 6.7e10, H=1 higher);
+# gathers run at ~75e6 rows/s.
+DENSE_PAIRS_PER_S = 6.5e10
 GATHER_ROWS_PER_S = 75e6
 # Estimated padding overhead of the binned path on residual edges.
 SPARSE_PAD = 1.25

@@ -339,7 +339,9 @@ def _gmm_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, beta_ref, alpha_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    mask = unpack_mask(mb_ref[0]) > 0
+    # additive mask: exp(-q/2 + NEG) == 0 on masked slots — one [Rt, Ct]
+    # add per kernel instead of a select per k (see GAT kernel notes)
+    mneg = jnp.where(unpack_mask(mb_ref[0]) > 0, 0.0, NEG)
     p_d = []
     for d in range(D):
         # alpha arrives transposed [D, C]: row reads only (see GAT kernels)
@@ -350,7 +352,7 @@ def _gmm_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, beta_ref, alpha_ref,
         for d in range(D):
             tkd = (p_d[d] - mu_ref[k, d]) * isig_ref[k, d]
             q = q + tkd * tkd
-        w = jnp.where(mask, jnp.exp(-0.5 * q), 0.0)  # [Rt, Ct]
+        w = jnp.exp(mneg - 0.5 * q)  # [Rt, Ct]; 0 on masked slots
         x_k = x_ref[:, k * F:(k + 1) * F]
         acc_ref[:, k * F:(k + 1) * F] += jax.lax.dot(
             w.astype(mat_dtype), x_k.astype(mat_dtype),
@@ -424,7 +426,9 @@ def _gmm_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, alpha_ref, beta_ref,
         dx_ref[:] = jnp.zeros_like(dx_ref)
         st_ref[:] = jnp.zeros_like(st_ref)
 
-    mask = unpack_mask(mb_ref[0]) > 0
+    # additive mask (see _gmm_fwd_kernel): w == 0 on masked slots, and every
+    # downstream term (c, st sums, dp) is proportional to w
+    mneg = jnp.where(unpack_mask(mb_ref[0]) > 0, 0.0, NEG)
     p_d = []
     for d in range(D):
         # beta arrives transposed [D, C]: row reads only (see GAT kernels)
@@ -438,7 +442,7 @@ def _gmm_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, alpha_ref, beta_ref,
             tt = (p_d[d] - mu_ref[k, d]) * isig_ref[k, d]
             t_kd.append(tt)
             q = q + tt * tt
-        w = jnp.where(mask, jnp.exp(-0.5 * q), 0.0)
+        w = jnp.exp(mneg - 0.5 * q)
         g_k = g_ref[:, k * F:(k + 1) * F]  # [Ct, F]
         dx_ref[:, k * F:(k + 1) * F] += jax.lax.dot(
             w.astype(mat_dtype), g_k.astype(mat_dtype),

@@ -128,6 +128,51 @@ def main():
     print(f"sum of aggregate passes: {(t6+t7)*1e3:.1f}ms "
           f"(bench full step was ~964ms)", flush=True)
 
+    # 8. the bench's exact train step (model + loss + adam), to attribute
+    #    the gap between the aggregate passes and the whole epoch
+    import optax
+
+    from dgnn_tpu.models import GAT
+
+    din, ncls = 602, 41
+    feat_in = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, ncls, n).astype(np.int32))
+    model = GAT(num_layers=1, n_hidden=64, n_classes=ncls, heads=(4, 1),
+                feat_drop=0.5, attn_drop=0.0)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(key, gs, feat_in)
+    tx = optax.chain(optax.add_decayed_weights(5e-4), optax.adam(1e-3))
+    opt_state = tx.init(params)
+
+    def full_step(params, opt_state, sub):
+        def loss_fn(p):
+            logits = model.apply(p, gs, feat_in, training=True,
+                                 rngs={"dropout": sub})
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(full_step, donate_argnums=(0, 1))
+    from dgnn_tpu.utils.timing import fetch_scalar
+    p2, o2, l = jstep(params, opt_state, key)
+    fetch_scalar(l)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        p2, o2, l = jstep(p2, o2, key)
+    fetch_scalar(l)
+    t8 = (time.perf_counter() - t0) / iters
+    print(f"full train step (model+loss+adam): {t8*1e3:7.1f}ms "
+          f"(gap vs aggregates: {(t8-t6-t7)*1e3:.1f}ms)", flush=True)
+
+    # 9. forward-only apply (training=True) — isolates fwd glue
+    jf = jax.jit(lambda p, k: model.apply(p, gs, feat_in, training=True,
+                                          rngs={"dropout": k})[0, 0])
+    t9 = timeit(jf, p2, key, iters=5)
+    print(f"model.apply fwd (training): {t9*1e3:7.1f}ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
