@@ -63,20 +63,29 @@ def knn_mask_neg(x: jax.Array, k: int, *, neg: float = -1e30,
     if exact:
         kth, _ = jax.lax.top_k(-d2, k)  # [B, P, k] negated, descending
         thresh = -kth[..., -1]  # [B, P] k-th smallest distance
-    else:
-        lo = jnp.min(d2, axis=-1)  # [B, P] (<= kth distance)
-        hi = jnp.max(d2, axis=-1)  # [B, P] (>= kth distance)
+        return jnp.where(d2 <= thresh[..., None], 0.0, neg).astype(dtype)
+    # Bisection runs over a bf16 copy of d2: each count pass is
+    # bandwidth-bound on re-reading d2 ([B,P,P] = 268 MB f32 at ModelNet
+    # scale), so halving it halves the dominant cost (measured ~2x,
+    # scripts/microbench_ec2.py).  bf16 rounding is monotonic, so membership
+    # stays a superset of the true k-NN set: points distinct in f32 but equal
+    # in bf16 are admitted together (same >k-admission semantics as the
+    # interval slack below).
+    d2b = d2.astype(jnp.bfloat16)
+    lo = jnp.min(d2, axis=-1)  # [B, P] (<= kth distance)
+    hi = jnp.max(d2, axis=-1)  # [B, P] (>= kth distance)
 
-        def body(_, loh):
-            lo, hi = loh
-            mid = 0.5 * (lo + hi)
-            cnt = jnp.sum(d2 <= mid[..., None], axis=-1)
-            small = cnt < k
-            return jnp.where(small, mid, lo), jnp.where(small, hi, mid)
+    def body(_, loh):
+        lo, hi = loh
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(d2b <= mid[..., None].astype(jnp.bfloat16), axis=-1)
+        small = cnt < k
+        return jnp.where(small, mid, lo), jnp.where(small, hi, mid)
 
-        lo, hi = jax.lax.fori_loop(0, bisect_iters, body, (lo, hi))
-        thresh = hi  # invariant: count(d2 <= hi) >= k
-    # bfloat16 default: the mask is re-read by every F-chunk of the conv's
-    # forward and backward (268 MB/pass at ModelNet scale in f32) and its
-    # values are only {0, neg} — half the streaming traffic for free
-    return jnp.where(d2 <= thresh[..., None], 0.0, neg).astype(dtype)
+    lo, hi = jax.lax.fori_loop(0, bisect_iters, body, (lo, hi))
+    thresh = hi  # invariant: count(d2b <= bf16(hi)) >= k
+    # bfloat16 mask default: the mask is re-read by every F-chunk of the
+    # conv's forward and backward and its values are only {0, neg} — half
+    # the streaming traffic for free
+    return jnp.where(d2b <= thresh[..., None].astype(jnp.bfloat16), 0.0,
+                     neg).astype(dtype)

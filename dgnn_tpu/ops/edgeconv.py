@@ -118,26 +118,12 @@ def _masked_max_argmax(mask_neg, h_src):
     return cat(ms), cat(ks)
 
 
-@jax.custom_vjp
-def edge_conv_max_dense(mask_neg, h_src, h_dst):
-    """out[b,i,f] = max over j with mask_neg[b,i,j]==0 of
-    (h_dst[b,i,f] + h_src[b,j,f]).
-
-    Fully batched broadcast+reduce — XLA fuses the [B, P, P, F] intermediate
-    away (measured ~2.6x faster than a per-cloud lax.map).  The primal
-    (inference) path computes only the max; argmax is computed under
-    differentiation only.
-
-    Args:
-      mask_neg: [B, P, P] f32 additive adjacency mask (0 = edge, large
-        negative = non-edge), from graph/knn.py:knn_mask_neg.
-      h_src: [B, P, F]; h_dst: [B, P, F].
-    Returns: [B, P, F].
-    """
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ecd(mul_dtype, mask_neg, h_src, h_dst):
     return h_dst + _masked_max(mask_neg, h_src)
 
 
-def _ecd_fwd(mask_neg, h_src, h_dst):
+def _ecd_fwd(mul_dtype, mask_neg, h_src, h_dst):
     # Under differentiation, compute max AND argmax in the same fused
     # broadcast and save the winner index — backward then needs only ONE
     # integer-compare pass over [B, P, P, Fc] instead of two value passes
@@ -147,34 +133,67 @@ def _ecd_fwd(mask_neg, h_src, h_dst):
     return h_dst + m, (kstar, mask_neg.shape)
 
 
-@jax.jit
-def _ecd_dsrc(kstar, g):
-    """Single-winner max backward, one integer-compare pass (F-chunked):
+# Backward-pass chunk: the multiply-form indicator sum tolerates (and
+# slightly prefers) wider chunks than the forward broadcast.
+_F_CHUNK_BWD = 128
+
+
+@functools.partial(jax.jit, static_argnames=("mul_dtype",))
+def _ecd_dsrc(kstar, g, mul_dtype=jnp.bfloat16):
+    """Single-winner max backward, one indicator-multiply pass (F-chunked):
       d_src[b,j,f] = sum_i g[b,i,f] [kstar[b,i,f] == j]
     Deterministic (first maximal j wins, like the reference's running
     strictly-greater max); a dense indicator sum, never a scatter (XLA
-    scatters: ~0.2M rows/s)."""
+    scatters: ~0.2M rows/s).
+
+    Layout/dtype choices (measured, scripts/microbench_edgeconv_variants.py):
+    the output index j rides axis 1 so the reduction is over axis 2 like the
+    forward (2.4x over reducing axis 1), the 0/1 indicator MULTIPLIES the
+    grad instead of selecting it, and the multiply+accumulate runs in bf16
+    (2x again; the per-(j,f) sums have ~1 contributor on average, so bf16
+    accumulation error is immaterial — pass mul_dtype=float32 for exact)."""
     p = kstar.shape[1]
-    jidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p, 1), 2)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (1, p, 1, 1), 1)
     outs = []
-    for i in _f_chunks(kstar.shape[-1]):
-        kc = kstar[..., i:i + _F_CHUNK]
-        gc = g[..., i:i + _F_CHUNK]
-        ind = kc[:, :, None, :] == jidx  # [B, P(i), P(j), Fc] int compare
-        outs.append(jnp.sum(jnp.where(ind, gc[:, :, None, :], 0.0), axis=1))
-    return jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
+    for i in range(0, kstar.shape[-1], _F_CHUNK_BWD):
+        kc = kstar[..., i:i + _F_CHUNK_BWD]              # [B, P(i), Fc]
+        gc = g[..., i:i + _F_CHUNK_BWD].astype(mul_dtype)
+        ind = (kc[:, None, :, :] == jidx).astype(mul_dtype)
+        outs.append(jnp.sum(ind * gc[:, None, :, :], axis=2))
+    out = jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
+    return out.astype(g.dtype)
 
 
-def _ecd_bwd(res, g):
+def _ecd_bwd(mul_dtype, res, g):
     kstar, mask_shape = res
-    d_src = _ecd_dsrc(kstar, g)
+    d_src = _ecd_dsrc(kstar, g, mul_dtype=mul_dtype)
     # d/d h_dst is the identity (reference returns grad_out directly,
     # operators/fused_edgeconv.py:22); the mask is non-differentiable (the
     # zero cotangent is DCE'd — models stop_gradient the mask).
     return (jnp.zeros(mask_shape, jnp.float32), d_src, g)
 
 
-edge_conv_max_dense.defvjp(_ecd_fwd, _ecd_bwd)
+_ecd.defvjp(_ecd_fwd, _ecd_bwd)
+
+
+def edge_conv_max_dense(mask_neg, h_src, h_dst, mul_dtype=jnp.bfloat16):
+    """out[b,i,f] = max over j with mask_neg[b,i,j]==0 of
+    (h_dst[b,i,f] + h_src[b,j,f]).
+
+    Fully batched broadcast+reduce — XLA fuses the [B, P, P, F] intermediate
+    away (measured ~2.6x faster than a per-cloud lax.map).  The primal
+    (inference) path computes only the max; argmax is computed under
+    differentiation only.
+
+    Args:
+      mask_neg: [B, P, P] f32/bf16 additive adjacency mask (0 = edge, large
+        negative = non-edge), from graph/knn.py:knn_mask_neg.
+      h_src: [B, P, F]; h_dst: [B, P, F].
+      mul_dtype: dtype of the backward indicator multiply (bfloat16 default,
+        measured ~2.4x faster; float32 for exact gradients — see _ecd_dsrc).
+    Returns: [B, P, F].
+    """
+    return _ecd(mul_dtype, mask_neg, h_src, h_dst)
 
 
 def edge_conv_max(nbr, h_src, h_dst):

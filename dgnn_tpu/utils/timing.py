@@ -19,8 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Timer", "time_fn", "time_epoch_loop", "device_peak_memory_mb",
-           "LAST_MEMORY_MB"]
+__all__ = ["Timer", "time_fn", "time_op", "time_epoch_loop",
+           "device_peak_memory_mb", "LAST_MEMORY_MB"]
 
 # Static peak-memory estimate (MB) of the last time_epoch_loop executable,
 # from XLA's compiled memory analysis (argument + temp + output - aliased).
@@ -106,6 +106,33 @@ def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
                 or (max_wall is not None and spent >= max_wall)):
             return max(t - base, 1e-9) / n, out[0]
         n = min(2 * n, max_epochs)
+
+
+def time_op(fn, *args, min_signal: float = 0.2, max_wall: float = 30.0):
+    """Seconds per call of ``fn(*args)``, measured DEVICE-RESIDENT.
+
+    Host-loop timing (time_fn) measures dispatch (~7-40 ms/call on the
+    tunnelled device), not the op.  This wraps the op in time_epoch_loop's
+    fori_loop: each iteration perturbs the first float arg by a scalar
+    derived from the previous output (forces sequential execution, the
+    1e-30 perturbation is exact-zero after the multiply rounds away), so
+    the measured signal is N back-to-back device executions.
+    """
+    import jax
+
+    def step(c, _k, cs):
+        first, rest = cs[0], cs[1:]
+        out = fn(first + (c * 1e-30).astype(first.dtype), *rest)
+        # Reduce EVERY output element into the carry: keeping only one
+        # element would let XLA dead-code-eliminate most of the op.
+        tot = sum(jnp.sum(leaf.astype(jnp.float32))
+                  for leaf in jax.tree.leaves(out))
+        return c + tot * 1e-30
+
+    dt, _ = time_epoch_loop(step, jnp.float32(0.0), jax.random.PRNGKey(0),
+                            1, warmup=1, min_signal=min_signal, consts=args,
+                            max_wall=max_wall)
+    return dt
 
 
 class Timer:

@@ -71,7 +71,10 @@ def test_dense_masked_matches_gather_path(rng):
     h_src = jnp.asarray(rng.normal(size=(b, p, f)), jnp.float32)
     h_dst = jnp.asarray(rng.normal(size=(b, p, f)), jnp.float32)
     nbr = knn_graph(x, k)  # [B*P, k] global ids
-    mask = knn_mask_neg(x, k)  # [B, P, P]
+    # exact=True: threshold-membership (bisection) may admit >k neighbors on
+    # bf16-rounding ties, which legitimately changes a max — the gather path
+    # being compared against is exact top-k
+    mask = knn_mask_neg(x, k, exact=True)  # [B, P, P]
 
     out_g = edge_conv_max(nbr, h_src.reshape(b * p, f),
                           h_dst.reshape(b * p, f))
@@ -84,13 +87,49 @@ def test_dense_masked_matches_gather_path(rng):
             edge_conv_max(nbr, hs.reshape(b * p, f), hd.reshape(b * p, f))))
 
     def loss_d(hs, hd):
-        return jnp.sum(jnp.sin(edge_conv_max_dense(mask, hs, hd)))
+        return jnp.sum(jnp.sin(
+            edge_conv_max_dense(mask, hs, hd, mul_dtype=jnp.float32)))
 
     gg = jax.grad(loss_g, argnums=(0, 1))(h_src, h_dst)
     gd_ = jax.grad(loss_d, argnums=(0, 1))(h_src, h_dst)
     for a_, b_ in zip(gd_, gg):
         np.testing.assert_allclose(a_, b_.reshape(a_.shape), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_dense_bwd_bf16_close_to_f32(rng):
+    """The production bf16 indicator-multiply backward tracks the exact f32
+    one to bf16 rounding (~0.4% relative)."""
+    from dgnn_tpu.graph.knn import knn_mask_neg
+
+    b, p, f = 2, 64, 96
+    x = jnp.asarray(rng.normal(size=(b, p, 3)), jnp.float32)
+    h_src = jnp.asarray(rng.normal(size=(b, p, f)), jnp.float32)
+    h_dst = jnp.asarray(rng.normal(size=(b, p, f)), jnp.float32)
+    mask = knn_mask_neg(x, 8, exact=True)
+
+    def loss(dt):
+        def fn(hs):
+            return jnp.sum(jnp.sin(
+                edge_conv_max_dense(mask, hs, h_dst, mul_dtype=dt)))
+        return jax.grad(fn)(h_src)
+
+    g16 = np.asarray(loss(jnp.bfloat16))
+    g32 = np.asarray(loss(jnp.float32))
+    np.testing.assert_allclose(g16, g32, rtol=5e-3, atol=2e-2)
+
+
+def test_bisect_mask_superset_of_exact(rng):
+    """Bisection membership (bf16 d2, interval slack) always ADMITS the true
+    k nearest (may add rounding-tied extras, never drops one)."""
+    from dgnn_tpu.graph.knn import knn_mask_neg
+
+    b, p, k = 3, 32, 5
+    x = jnp.asarray(rng.normal(size=(b, p, 3)), jnp.float32)
+    m_bis = np.asarray(knn_mask_neg(x, k)) == 0.0
+    m_ex = np.asarray(knn_mask_neg(x, k, exact=True)) == 0.0
+    assert (m_bis | ~m_ex).all()  # every exact neighbor is admitted
+    assert (m_bis.sum(-1) >= k).all()
 
 
 def test_dense_masked_first_winner_grad(rng):
