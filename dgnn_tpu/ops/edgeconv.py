@@ -107,13 +107,24 @@ def _masked_max(mask_neg, h_src):
 def _masked_max_argmax(mask_neg, h_src):
     """(max, argmax) over j of h_src[b,j,f] + mask_neg[b,i,j], F-chunked.
     argmax is int32 [B, P, F] (first winner, like the reference kernel's
-    running strictly-greater max, fused_edgeconv_kernel.cu:31-38)."""
+    running strictly-greater max, fused_edgeconv_kernel.cu:31-38).
+
+    Formulated as TWO plain reduces — max, then first-winner index as a
+    min-reduce of (j if vals >= m else BIG) over the recomputed (bitwise
+    identical) broadcast — because XLA's variadic (value, index) argmax
+    reduce measures 4.2x a plain max on this TPU while the extra plain
+    pass costs only 2x (scripts/microbench_ec_argmax.py: 40.8 ms vs
+    29.6 ms per step at F=256)."""
+    p = mask_neg.shape[1]
+    jbig = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p, 1), 2)
     ms, ks = [], []
     for i in _f_chunks(h_src.shape[-1]):
         s = h_src[..., i:i + _F_CHUNK]
         vals = s[:, None, :, :] + mask_neg[:, :, :, None]  # fused
-        ms.append(jnp.max(vals, axis=2))
-        ks.append(jnp.argmax(vals, axis=2).astype(jnp.int32))
+        m = jnp.max(vals, axis=2)
+        idx = jnp.where(vals >= m[:, :, None, :], jbig, jnp.int32(1 << 20))
+        ms.append(m)
+        ks.append(jnp.min(idx, axis=2).astype(jnp.int32))
     cat = lambda x: jnp.concatenate(x, -1) if len(x) > 1 else x[0]
     return cat(ms), cat(ks)
 
