@@ -90,7 +90,7 @@ def _citation_graph(name, scale=1.0):
         n, e = int(n_full * scale), int(e_full * scale)
         os.makedirs(CACHE_DIR, exist_ok=True)
         # cache key: binning/dense-format version
-        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_d3.npz")
+        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_d5.npz")
         if os.path.exists(path):
             g = gcache.load_graph(path)
         else:

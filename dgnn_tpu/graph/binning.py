@@ -33,7 +33,7 @@ _WIDTH_CANDIDATES = tuple(sorted(
     [2 ** k for k in range(2, 18)] + [3 * 2 ** k for k in range(2, 16)]))
 
 # An extra bin costs ~60us of op overhead per pass (measured on small
-# graphs), i.e. ~4096 gather-slots at the ~75M rows/s rate wall — an extra
+# graphs), i.e. ~4096 gather-slots at the ~140M rows/s rate wall — an extra
 # bin must save at least that much padding to pay for itself.
 _BIN_PENALTY_SLOTS = 4096
 

@@ -40,10 +40,16 @@ DENSE_RT = 256
 
 # Measured machine constants (scripts/microbench_dense.py on v5e):
 # the bound-based fwd kernel measures 7.1e10 masked pairs/s at H=4, F=64
-# incl. the sign-split aggregation matmuls (bwd 6.7e10, H=1 higher);
-# gathers run at ~75e6 rows/s.
+# incl. the sign-split aggregation matmuls (bwd 6.7e10, H=1 higher).
+# GATHER_ROWS_PER_S is the EFFECTIVE slot rate of the production binned
+# residual pass (gather + online softmax + aggregation einsum compound),
+# measured end-to-end via scripts/profile_reddit_gat.py at two plan
+# sizes: (203.4-54.1)ms for 6.3M slots and (154.4-67.9)ms for 4.0M —
+# both ~45e6 slots/s.  A bare fused gather does ~140e6 rows/s
+# (microbench_gather.py) — planning with that number under-weights the
+# residual ~3x and strands profitable tiles on the gather path.
 DENSE_PAIRS_PER_S = 6.5e10
-GATHER_ROWS_PER_S = 75e6
+GATHER_ROWS_PER_S = 45e6
 # Estimated padding overhead of the binned path on residual edges.
 SPARSE_PAD = 1.25
 # A dense block must save at least this much per pass to pay for its op

@@ -15,7 +15,7 @@ argmax positions.
 model: point clouds make the k-NN graph block-diagonal with small blocks
 (P ~ 1024 points), so neighbor-max is computed DENSELY per cloud under an
 additive 0/-inf mask (graph/knn.py:knn_mask_neg).  Per-edge gathers on TPU
-are rate-bound at ~75M rows/s; the dense form does P/k "wasted" VPU work but
+are rate-bound at ~140M rows/s; the dense form does P/k "wasted" VPU work but
 runs at vector-unit speed with zero gathers, and its backward is an equally
 dense argmax-indicator sum instead of a scatter.
 """

@@ -12,7 +12,7 @@ design:
   same streaming-softmax structure as the reference's 3-pass warp kernel and
   its tile-balanced variant, but deterministic and atomics-free.
 - **Per-edge random access is the TPU bottleneck** (row gathers run at
-  ~75M rows/s on v5e regardless of row size — rate-bound, not
+  ~140M rows/s on v5e regardless of row size — rate-bound, not
   bandwidth-bound; scatters are far worse).  The whole op is therefore
   organised as exactly TWO edge-sized gather passes per training step — the
   provable minimum (forward must touch x[src] per edge, backward must touch

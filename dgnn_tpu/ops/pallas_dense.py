@@ -2,7 +2,7 @@
 
 Reddit-class power-law graphs concentrate most edges near the top-left
 corner of the degree-ranked adjacency plane.  Per-edge gathers on this TPU
-are rate-bound at ~75M rows/s (docs/PERF_NOTES.md), so the fused ops route
+are rate-bound at ~140M rows/s (docs/PERF_NOTES.md), so the fused ops route
 every [DENSE_RT x DENSE_CT] tile of that plane whose edge count beats the
 measured break-even (~800 edges, graph/hub.py) through these kernels: a
 flash-attention-style masked softmax aggregation over bit-packed per-tile

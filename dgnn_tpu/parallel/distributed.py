@@ -71,7 +71,7 @@ class ScalingReport:
 
 def scaling_report(shards, row_bytes: int, *,
                    ici_gbps: float = 45.0,
-                   rows_per_s: float = 75e6,
+                   rows_per_s: float = 140e6,
                    dense_pairs_per_s: float = 4.0e10,
                    single_rows: int | None = None) -> ScalingReport:
     """Estimate multi-chip scaling efficiency from a static partition.

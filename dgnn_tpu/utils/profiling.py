@@ -27,8 +27,11 @@ TPU_HBM_GBPS = {
 
 # Measured row-gather rate wall (rows/s) — the binding resource for GNN
 # aggregation on TPU (docs/PERF_NOTES.md; scripts/microbench_gather.py).
-# Rate is nearly independent of row size up to ~1KB.
-TPU_GATHER_ROWS_PER_S = 75e6
+# Rate is nearly independent of row size up to ~1KB.  Round-2 value for
+# fused (gather -> reduce) pipelines over HBM-resident tables; tables
+# under ~64MB reach ~265e6, and materializing the gathered rows to HBM
+# halves it (the round-1 75e6 figure did exactly that).
+TPU_GATHER_ROWS_PER_S = 140e6
 
 
 @contextlib.contextmanager

@@ -8,7 +8,7 @@ through the scalar-prefetched tile schedule exactly as production does
 calibrates graph/hub.py's cost model (DENSE_PAIRS_PER_S).
 Run on TPU:  python scripts/microbench_dense.py
 
-Context: XLA row gathers are rate-bound at ~75M rows/s on this chip, so the
+Context: XLA row gathers are rate-bound at ~140M rows/s on this chip, so the
 kernel's measured ~43G pairs/s means any subgraph denser than ~0.2% is
 faster dense than gathered (docs/PERF_NOTES.md).  An equivalent XLA
 scan-of-tiles implementation measured 5.6G pairs/s and took 210s to trace.

@@ -42,7 +42,7 @@ def main():
     from dgnn_tpu.ops.pallas_dense import dense_gat_fwd, dense_gat_bwd
 
     path = os.path.join(REPO, ".bench_cache",
-                        "rmat_graph_232965_114615892_d3.npz")
+                        "rmat_graph_232965_114615892_d5.npz")
     g = gcache.load_graph(path)
     n = g.num_nodes
     H, F = 4, 64
@@ -144,9 +144,17 @@ def main():
     tx = optax.chain(optax.add_decayed_weights(5e-4), optax.adam(1e-3))
     opt_state = tx.init(params)
 
-    def full_step(params, opt_state, sub):
+    # NOTE: the graph/features ride as time_epoch_loop consts (jit
+    # ARGUMENTS) — closing over them bakes 2.5GB of tables into the
+    # executable as constants, which crashes the remote compile helper.
+    from dgnn_tpu.utils.timing import time_epoch_loop
+
+    def full_step(carry, sub, cs):
+        gg, feat_in, labels = cs
+        params, opt_state, _ = carry
+
         def loss_fn(p):
-            logits = model.apply(p, gs, feat_in, training=True,
+            logits = model.apply(p, gg, feat_in, training=True,
                                  rngs={"dropout": sub})
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels).mean()
@@ -154,23 +162,21 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    jstep = jax.jit(full_step, donate_argnums=(0, 1))
-    from dgnn_tpu.utils.timing import fetch_scalar
-    p2, o2, l = jstep(params, opt_state, key)
-    fetch_scalar(l)
-    t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        p2, o2, l = jstep(p2, o2, key)
-    fetch_scalar(l)
-    t8 = (time.perf_counter() - t0) / iters
+    t8, _ = time_epoch_loop(full_step, (params, opt_state, jnp.float32(0)),
+                            key, 3, warmup=2,
+                            consts=(gs, feat_in, labels), max_wall=60.0)
     print(f"full train step (model+loss+adam): {t8*1e3:7.1f}ms "
           f"(gap vs aggregates: {(t8-t6-t7)*1e3:.1f}ms)", flush=True)
 
     # 9. forward-only apply (training=True) — isolates fwd glue
-    jf = jax.jit(lambda p, k: model.apply(p, gs, feat_in, training=True,
-                                          rngs={"dropout": k})[0, 0])
-    t9 = timeit(jf, p2, key, iters=5)
+    def fwd_step(c, sub, cs):
+        gg, feat_in, _ = cs
+        logits = model.apply(params, gg, feat_in + c * 1e-30, training=True,
+                             rngs={"dropout": sub})
+        return c + logits.ravel()[0] * 1e-30
+
+    t9, _ = time_epoch_loop(fwd_step, jnp.float32(0), key, 3, warmup=2,
+                            consts=(gs, feat_in, labels), max_wall=40.0)
     print(f"model.apply fwd (training): {t9*1e3:7.1f}ms", flush=True)
 
 

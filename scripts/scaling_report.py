@@ -27,7 +27,7 @@ def main():
     from dgnn_tpu.parallel.partition import partition_graph
 
     cache = os.path.join(REPO, ".bench_cache",
-                         "rmat_graph_232965_114615892_d3.npz")
+                         "rmat_graph_232965_114615892_d5.npz")
     z = np.load(cache)
     meta = json.loads(bytes(z["meta_json"]).decode())
     row_ptr = z["row_ptr"].astype(np.int64)
@@ -52,7 +52,7 @@ def main():
         "`parallel/distributed.py`",
         "converts the plan to seconds with the measured machine constants "
         "(docs/PERF_NOTES.md:",
-        "gathers 75M rows/s, ICI ~45 GB/s/direction/chip).  Local "
+        "gathers 140M rows/s, ICI ~45 GB/s/direction/chip).  Local "
         "aggregation overlaps the",
         "exchange (the local bin set has no data dependency on the halo), so "
         "per-layer time",

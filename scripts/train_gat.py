@@ -31,7 +31,7 @@ def main(args):
     data = load_citation_dataset(args.dataset, seed=args.seed)
     cache_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".bench_cache",
-        f"rmat_graph_{data.num_nodes}_{len(data.src)}_d3.npz")
+        f"rmat_graph_{data.num_nodes}_{len(data.src)}_d5.npz")
     if args.dataset == "reddit" and os.path.exists(cache_path):
         from dgnn_tpu.graph import cache as gcache
         graph = gcache.load_graph(cache_path)  # same R-MAT seed as bench
