@@ -57,8 +57,11 @@ def load_modelnet(num_points: int = 1024, path: str | None = None,
             return xtr, ytr, xte, yte
         except ImportError:
             pass
+    # shared class templates, disjoint instance seeds (train/test must
+    # describe the SAME classes for test accuracy to be meaningful)
     xtr, ytr = synthetic.synthetic_point_clouds(train_samples, num_points,
-                                                seed=seed)
+                                                seed=seed, template_seed=seed)
     xte, yte = synthetic.synthetic_point_clouds(test_samples, num_points,
-                                                seed=seed + 1)
+                                                seed=seed + 1,
+                                                template_seed=seed)
     return xtr, ytr, xte, yte

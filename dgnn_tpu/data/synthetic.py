@@ -116,16 +116,24 @@ def synthetic_citation(name: str = "cora", seed: int = 0,
 
 
 def synthetic_point_clouds(num_samples: int, num_points: int = 1024,
-                           num_classes: int = 40, seed: int = 0):
+                           num_classes: int = 40, seed: int = 0,
+                           template_seed: int | None = None):
     """ModelNet-style point clouds: each class is a random gaussian-blob shape
     template; samples are rotated/jittered instances.  Returns (x [S,P,3]
-    float32, y [S] int32)."""
+    float32, y [S] int32).
+
+    ``template_seed`` fixes the class shapes independently of ``seed`` so a
+    train and a test split (different ``seed``) share the SAME classes —
+    without this the splits describe unrelated label sets and no model can
+    generalize between them."""
+    trng = np.random.default_rng(seed if template_seed is None
+                                 else template_seed)
     rng = np.random.default_rng(seed)
     templates = []
     for _ in range(num_classes):
-        k = rng.integers(3, 8)
-        centers = rng.normal(0, 1, (k, 3))
-        scales = rng.uniform(0.1, 0.4, (k, 1))
+        k = trng.integers(3, 8)
+        centers = trng.normal(0, 1, (k, 3))
+        scales = trng.uniform(0.1, 0.4, (k, 1))
         templates.append((centers, scales))
     y = rng.integers(0, num_classes, num_samples).astype(np.int32)
     x = np.zeros((num_samples, num_points, 3), np.float32)

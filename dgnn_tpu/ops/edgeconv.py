@@ -129,19 +129,24 @@ def _masked_max_argmax(mask_neg, h_src):
     return cat(ms), cat(ks)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ecd(mul_dtype, mask_neg, h_src, h_dst):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ecd(mul_dtype, bwd_mode, mask_neg, h_src, h_dst):
     return h_dst + _masked_max(mask_neg, h_src)
 
 
-def _ecd_fwd(mul_dtype, mask_neg, h_src, h_dst):
-    # Under differentiation, compute max AND argmax in the same fused
-    # broadcast and save the winner index — backward then needs only ONE
-    # integer-compare pass over [B, P, P, Fc] instead of two value passes
-    # (the reference saves max_idx the same way,
-    # operators/fused_edgeconv.py:20).
-    m, kstar = _masked_max_argmax(mask_neg, h_src)
-    return h_dst + m, (kstar, mask_neg.shape)
+def _ecd_fwd(mul_dtype, bwd_mode, mask_neg, h_src, h_dst):
+    if bwd_mode == "argmax":
+        # Compute max AND argmax in the same fused broadcast and save the
+        # winner index — backward is ONE integer-compare pass (the
+        # reference saves max_idx the same way,
+        # operators/fused_edgeconv.py:20).
+        m, kstar = _masked_max_argmax(mask_neg, h_src)
+        return h_dst + m, (kstar, None, None, mask_neg.shape)
+    # "tie_sum": save only the max VALUE — the forward stays a single plain
+    # reduce (the index pass costs 2x a max pass, microbench_ec_argmax.py)
+    # and backward matches sources by exact value equality instead.
+    m = _masked_max(mask_neg, h_src)
+    return h_dst + m, (m, mask_neg, h_src, mask_neg.shape)
 
 
 # Backward-pass chunk: the multiply-form indicator sum tolerates (and
@@ -175,9 +180,38 @@ def _ecd_dsrc(kstar, g, mul_dtype=jnp.bfloat16):
     return out.astype(g.dtype)
 
 
-def _ecd_bwd(mul_dtype, res, g):
-    kstar, mask_shape = res
-    d_src = _ecd_dsrc(kstar, g, mul_dtype=mul_dtype)
+@functools.partial(jax.jit, static_argnames=("mul_dtype",))
+def _ecd_dsrc_ties(m, mask_neg, h_src, g, mul_dtype=jnp.bfloat16):
+    """Value-equality max backward, one indicator-multiply pass (F-chunked):
+      d_src[b,j,f] = sum_i g[b,i,f] [h_src[b,j,f] + mask[b,i,j] == m[b,i,f]]
+    The recomputed sum is bitwise identical to the forward's (same f32 add,
+    different broadcast layout), so the equality hits exactly the maximal
+    sources.  On EXACT value ties the gradient is summed over every tied
+    source (a valid subgradient, unlike the reference's cross-block race —
+    SURVEY.md §2.3); ties require bit-identical h_src rows among a point's
+    neighbors, which continuous features never produce.  Worth it because
+    the forward then needs no index pass at all (a plain max reduce is the
+    cheapest pass over the broadcast, microbench_ec_argmax.py)."""
+    maskT = jnp.swapaxes(mask_neg, 1, 2)  # [B, P_j, P_i]
+    outs = []
+    for i in range(0, h_src.shape[-1], _F_CHUNK_BWD):
+        hc = h_src[..., i:i + _F_CHUNK_BWD]   # [B, P_j, Fc]
+        mc = m[..., i:i + _F_CHUNK_BWD]       # [B, P_i, Fc]
+        gc = g[..., i:i + _F_CHUNK_BWD].astype(mul_dtype)
+        vals = hc[:, :, None, :] + maskT[..., None]      # [B, Pj, Pi, Fc]
+        ind = (vals == mc[:, None, :, :]).astype(mul_dtype)
+        outs.append(jnp.sum(ind * gc[:, None, :, :], axis=2))
+    out = jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
+    return out.astype(g.dtype)
+
+
+def _ecd_bwd(mul_dtype, bwd_mode, res, g):
+    first, mask_neg, h_src, mask_shape = res
+    if bwd_mode == "argmax":
+        d_src = _ecd_dsrc(first, g, mul_dtype=mul_dtype)
+    else:
+        d_src = _ecd_dsrc_ties(first, mask_neg, h_src, g,
+                               mul_dtype=mul_dtype)
     # d/d h_dst is the identity (reference returns grad_out directly,
     # operators/fused_edgeconv.py:22); the mask is non-differentiable (the
     # zero cotangent is DCE'd — models stop_gradient the mask).
@@ -187,14 +221,14 @@ def _ecd_bwd(mul_dtype, res, g):
 _ecd.defvjp(_ecd_fwd, _ecd_bwd)
 
 
-def edge_conv_max_dense(mask_neg, h_src, h_dst, mul_dtype=jnp.bfloat16):
+def edge_conv_max_dense(mask_neg, h_src, h_dst, mul_dtype=jnp.bfloat16,
+                        bwd_mode: str = "tie_sum"):
     """out[b,i,f] = max over j with mask_neg[b,i,j]==0 of
     (h_dst[b,i,f] + h_src[b,j,f]).
 
     Fully batched broadcast+reduce — XLA fuses the [B, P, P, F] intermediate
     away (measured ~2.6x faster than a per-cloud lax.map).  The primal
-    (inference) path computes only the max; argmax is computed under
-    differentiation only.
+    (inference) path computes only the max.
 
     Args:
       mask_neg: [B, P, P] f32/bf16 additive adjacency mask (0 = edge, large
@@ -202,9 +236,14 @@ def edge_conv_max_dense(mask_neg, h_src, h_dst, mul_dtype=jnp.bfloat16):
       h_src: [B, P, F]; h_dst: [B, P, F].
       mul_dtype: dtype of the backward indicator multiply (bfloat16 default,
         measured ~2.4x faster; float32 for exact gradients — see _ecd_dsrc).
+      bwd_mode: "tie_sum" (default) saves only the max value in forward and
+        matches sources by exact value equality in backward — cheapest
+        forward, gradient summed over exact-tied sources; "argmax" saves the
+        first-winner index in forward (reference semantics,
+        fused_edgeconv_kernel.cu:31-38) at the cost of an index pass.
     Returns: [B, P, F].
     """
-    return _ecd(mul_dtype, mask_neg, h_src, h_dst)
+    return _ecd(mul_dtype, bwd_mode, mask_neg, h_src, h_dst)
 
 
 def edge_conv_max(nbr, h_src, h_dst):

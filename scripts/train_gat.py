@@ -98,7 +98,10 @@ def main(args):
     inference_time, _ = time_epoch_loop(infer_step, jnp.float32(0), key,
                                         args.n_epochs, warmup=3,
                                         consts=consts)
-    logits = jax.jit(lambda p: model.apply(p, graph, features))(params)
+    # graph/features as jit ARGUMENTS (closing over them bakes GBs of graph
+    # tables into the executable as constants at Reddit scale)
+    logits = jax.jit(lambda p, g, f: model.apply(p, g, f))(params, graph,
+                                                           features)
 
     pred = jnp.argmax(logits, axis=1)
     acc = float(jnp.sum((pred == labels) * test_mask) / jnp.sum(test_mask))

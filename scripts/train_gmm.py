@@ -90,7 +90,8 @@ def main(args):
     inference_time, _ = time_epoch_loop(infer_step, jnp.float32(0), key,
                                         args.n_epochs, warmup=3,
                                         consts=consts)
-    logits = jax.jit(lambda p: model.apply(p, graph, features, pseudo))(params)
+    logits = jax.jit(lambda p, g, f, ps: model.apply(p, g, f, ps))(
+        params, graph, features, pseudo)
 
     pred = jnp.argmax(logits, axis=1)
     acc = float(jnp.sum((pred == labels) * test_mask) / jnp.sum(test_mask))

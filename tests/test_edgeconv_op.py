@@ -133,19 +133,46 @@ def test_bisect_mask_superset_of_exact(rng):
 
 
 def test_dense_masked_first_winner_grad(rng):
-    """With duplicated source rows (exact ties) the whole gradient goes to
-    the FIRST maximal source (deterministic; matches the reference kernel's
-    running strictly-greater max, fused_edgeconv_kernel.cu:31-38); total
-    mass conserved."""
+    """bwd_mode="argmax": with duplicated source rows (exact ties) the whole
+    gradient goes to the FIRST maximal source (deterministic; matches the
+    reference kernel's running strictly-greater max,
+    fused_edgeconv_kernel.cu:31-38); total mass conserved."""
     b, p, f = 1, 4, 3
     h_src = jnp.zeros((b, p, f), jnp.float32)  # all identical -> all tie
     h_dst = jnp.asarray(rng.normal(size=(b, p, f)), jnp.float32)
     mask = jnp.zeros((b, p, p), jnp.float32)  # fully connected
 
     def loss(h_src):
-        return jnp.sum(edge_conv_max_dense(mask, h_src, h_dst))
+        return jnp.sum(edge_conv_max_dense(mask, h_src, h_dst,
+                                           bwd_mode="argmax"))
 
     g = jax.grad(loss)(h_src)
     # every destination row picks source 0: total mass = p per channel
     np.testing.assert_allclose(np.asarray(g[0, 0]), p * np.ones(f))
     np.testing.assert_allclose(np.asarray(g[0, 1:]), 0.0)
+
+
+def test_dense_tie_sum_grad(rng):
+    """Default bwd_mode="tie_sum": on exact ties the gradient is summed over
+    every tied source (each of p destinations contributes to all p tied
+    sources); tie-free inputs match the argmax mode exactly."""
+    b, p, f = 1, 4, 3
+    h_src = jnp.zeros((b, p, f), jnp.float32)  # all identical -> all tie
+    h_dst = jnp.asarray(rng.normal(size=(b, p, f)), jnp.float32)
+    mask = jnp.zeros((b, p, p), jnp.float32)
+
+    g = jax.grad(lambda hs: jnp.sum(
+        edge_conv_max_dense(mask, hs, h_dst, mul_dtype=jnp.float32)))(h_src)
+    np.testing.assert_allclose(np.asarray(g), p * np.ones((b, p, f)))
+
+    # continuous (tie-free) inputs: identical gradients in both modes
+    hs = jnp.asarray(rng.normal(size=(b, 16, f)), jnp.float32)
+    hd = jnp.asarray(rng.normal(size=(b, 16, f)), jnp.float32)
+    mk = jnp.zeros((b, 16, 16), jnp.float32)
+
+    def loss(mode):
+        return jax.grad(lambda a: jnp.sum(edge_conv_max_dense(
+            mk, a, hd, mul_dtype=jnp.float32, bwd_mode=mode) ** 2))(hs)
+
+    np.testing.assert_allclose(np.asarray(loss("tie_sum")),
+                               np.asarray(loss("argmax")), rtol=1e-6)
