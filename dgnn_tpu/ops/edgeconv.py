@@ -191,13 +191,18 @@ def _ecd_dsrc_ties(m, mask_neg, h_src, g, mul_dtype=jnp.bfloat16):
     SURVEY.md §2.3); ties require bit-identical h_src rows among a point's
     neighbors, which continuous features never produce.  Worth it because
     the forward then needs no index pass at all (a plain max reduce is the
-    cheapest pass over the broadcast, microbench_ec_argmax.py)."""
+    cheapest pass over the broadcast, microbench_ec_argmax.py).
+
+    F-chunked at the FORWARD's 64 (not _F_CHUNK_BWD=128): this pass
+    broadcasts four operands along different axes and XLA's fusion
+    degrades superlinearly past 64 trailing channels (measured 4.5 ms per
+    64-chunk but 45 ms for the whole F=256 at 128-wide chunks)."""
     maskT = jnp.swapaxes(mask_neg, 1, 2)  # [B, P_j, P_i]
     outs = []
-    for i in range(0, h_src.shape[-1], _F_CHUNK_BWD):
-        hc = h_src[..., i:i + _F_CHUNK_BWD]   # [B, P_j, Fc]
-        mc = m[..., i:i + _F_CHUNK_BWD]       # [B, P_i, Fc]
-        gc = g[..., i:i + _F_CHUNK_BWD].astype(mul_dtype)
+    for i in range(0, h_src.shape[-1], _F_CHUNK):
+        hc = h_src[..., i:i + _F_CHUNK]   # [B, P_j, Fc]
+        mc = m[..., i:i + _F_CHUNK]       # [B, P_i, Fc]
+        gc = g[..., i:i + _F_CHUNK].astype(mul_dtype)
         vals = hc[:, :, None, :] + maskT[..., None]      # [B, Pj, Pi, Fc]
         ind = (vals == mc[:, None, :, :]).astype(mul_dtype)
         outs.append(jnp.sum(ind * gc[:, None, :, :], axis=2))
