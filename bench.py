@@ -20,7 +20,14 @@ where each config's speedup = reference_seconds / ours and G is the
 geometric mean.  Per-config details go to stderr and BENCH_DETAILS.json.
 
 Env knobs: BENCH_CONFIGS (comma list to subset), BENCH_SCALE (float, scales
-reddit-size graphs), BENCH_EPOCHS (small-graph epoch floor).
+reddit-size graphs), BENCH_EPOCHS (small-graph epoch floor),
+BENCH_TOTAL_WALL (global wall budget, s — the suite ALWAYS finishes and
+prints its JSON line inside this; remaining configs are recorded as skipped),
+BENCH_MEASURE_WALL (per-config measurement cap, s), BENCH_CONFIG_TIMEOUT
+(per-config subprocess cap, s).
+
+Subset runs MERGE into BENCH_DETAILS.json (configs not re-run keep their
+previous record) so a debugging subset can never clobber the full table.
 """
 
 import json
@@ -76,8 +83,21 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_GRAPH_MEMO = {}
+
+
 def _citation_graph(name, scale=1.0):
-    """Graph + features at the dataset's scale (cached for reddit)."""
+    """Graph + features at the dataset's scale (cached for reddit; memoized
+    in-process so grouped configs — e.g. both reddit ones — share one
+    multi-GB npz load)."""
+    if (name, scale) in _GRAPH_MEMO:
+        return _GRAPH_MEMO[(name, scale)]
+    out = _citation_graph_uncached(name, scale)
+    _GRAPH_MEMO[(name, scale)] = out
+    return out
+
+
+def _citation_graph_uncached(name, scale=1.0):
     import jax.numpy as jnp
 
     from dgnn_tpu.data.synthetic import CITATION_SHAPES, rmat_edges
@@ -315,13 +335,25 @@ def bench_edgeconv(infer=False):
     return dt
 
 
-def main():
-    scale = float(os.environ.get("BENCH_SCALE", "1.0"))
-    epochs = int(os.environ.get("BENCH_EPOCHS", "20"))
-    only = os.environ.get("BENCH_CONFIGS")
-    only = set(only.split(",")) if only else None
+# Config groups: one subprocess per GROUP (isolation against OOM poisoning)
+# but grouped configs share one process — the two reddit configs share one
+# ~3 GB graph-cache load, the two edgeconv ones share data gen.  Cheap
+# configs run first so a wall-budget cutoff loses the least signal.
+GROUPS = [
+    ["gat_cora_train"],
+    ["gat_cora_infer"],
+    ["gat_citeseer_train"],
+    ["gmm_cora_train"],
+    ["gat_pubmed_train"],
+    ["gmm_pubmed_train"],
+    ["edgeconv_modelnet_infer"],
+    ["edgeconv_modelnet_train"],
+    ["gat_reddit_train", "gmm_reddit_train"],
+]
 
-    runners = {
+
+def _runners(scale, epochs):
+    return {
         "gat_cora_train": lambda: bench_gat("cora", 1.0, epochs * 10),
         "gat_cora_infer": lambda: bench_gat("cora", 1.0, epochs * 10,
                                             infer=True),
@@ -335,80 +367,132 @@ def main():
         "edgeconv_modelnet_infer": lambda: bench_edgeconv(infer=True),
     }
 
-    details = {}
-    speedups = []
-    single = os.environ.get("BENCH_CHILD") == "1"
-    for name, fn in runners.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        peak_mb = None
-        if single or (only and len(only) == 1):
-            try:
-                dt = fn()
-                from dgnn_tpu.utils import timing
-                peak_mb = round(timing.device_peak_memory_mb(), 1)
-                if peak_mb < 0:  # backend exposes no runtime stats: use the
-                    peak_mb = timing.LAST_MEMORY_MB["value"]  # static analysis
-            except Exception as ex:
-                log(f"# {name}: FAILED {type(ex).__name__}: {ex}")
-                details[name] = {"error": str(ex)[:500]}
-                speedups.append(0.01)
-                continue
-        else:
-            # one subprocess per config: an OOM on one cannot poison the rest
-            import subprocess
-            env = dict(os.environ, BENCH_CONFIGS=name, BENCH_CHILD="1")
-            try:
-                r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                   env=env, capture_output=True, text=True,
-                                   timeout=int(os.environ.get(
-                                       "BENCH_CONFIG_TIMEOUT", "1800")))
-            except subprocess.TimeoutExpired:
-                log(f"# {name}: FAILED (subprocess timeout)")
-                details[name] = {"error": "config subprocess timeout"}
-                speedups.append(0.01)
-                continue
-            dt = None
-            for line in r.stdout.splitlines():
-                try:
-                    rec = json.loads(line)
-                except Exception:
-                    continue
-                if isinstance(rec, dict) and "_seconds" in rec:
-                    dt = rec["_seconds"]
-                    peak_mb = rec.get("_peak_mb")
-            if dt is None:
-                tail = (r.stderr or "")[-400:]
-                log(f"# {name}: FAILED (subprocess rc={r.returncode}) {tail}")
-                details[name] = {"error": tail}
-                speedups.append(0.01)
-                continue
-        ref = REF[name]
-        ref_eff = ref if name not in ("gat_reddit_train", "gmm_reddit_train") \
-            else ref * scale
-        sp = ref_eff / dt
-        details[name] = {"seconds": dt, "reference": ref_eff, "speedup": sp,
-                         "peak_device_mb": peak_mb,
-                         "bench_wall_s": round(time.time() - t0, 1)}
-        speedups.append(sp)
-        log(f"# {name}: {dt:.6f}s ref={ref_eff:.6f}s speedup={sp:.2f}x "
-            f"peak={peak_mb}MB (wall {time.time() - t0:.0f}s)")
 
-    if single:
-        # child mode: emit the raw numbers for the parent and exit
-        d = details[next(iter(details))] if details else {}
-        print(json.dumps({"_seconds": d.get("seconds"),
-                          "_peak_mb": d.get("peak_device_mb")}))
+def _run_child(names, runners):
+    """Child mode: run each named config in-process, one JSON line each."""
+    for name in names:
+        try:
+            dt = runners[name]()
+            from dgnn_tpu.utils import timing
+            peak_mb = round(timing.device_peak_memory_mb(), 1)
+            if peak_mb < 0:  # backend exposes no runtime stats: use the
+                peak_mb = timing.LAST_MEMORY_MB["value"]  # static analysis
+            print(json.dumps({"_config": name, "_seconds": dt,
+                              "_peak_mb": peak_mb}), flush=True)
+        except Exception as ex:
+            log(f"# {name}: FAILED {type(ex).__name__}: {ex}")
+            print(json.dumps({"_config": name,
+                              "_error": f"{type(ex).__name__}: {ex}"[:500]}),
+                  flush=True)
+
+
+def _merge_details(path, details, geomean):
+    """Merge this run's configs into BENCH_DETAILS.json (a subset run must
+    never clobber configs it did not execute — round-2 failure mode)."""
+    merged = {}
+    try:
+        with open(path) as f:
+            merged = json.load(f).get("configs", {})
+    except Exception:
+        pass
+    merged = {k: v for k, v in merged.items() if k in REF}
+    merged.update(details)
+    sps = [v.get("speedup", 0.01) for v in merged.values()]
+    g_all = (math.exp(sum(math.log(max(s, 1e-9)) for s in sps) / len(sps))
+             if sps else 0.0)
+    with open(path, "w") as f:
+        json.dump({"geomean_speedup": g_all,
+                   "geomean_this_run": geomean,
+                   "n_configs": len(merged),
+                   "configs": merged}, f, indent=2)
+    return g_all, len(merged)
+
+
+def main():
+    scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+    epochs = int(os.environ.get("BENCH_EPOCHS", "20"))
+    total_wall = float(os.environ.get("BENCH_TOTAL_WALL", "1500"))
+    cfg_timeout = float(os.environ.get("BENCH_CONFIG_TIMEOUT", "600"))
+    deadline = time.time() + total_wall
+    only = os.environ.get("BENCH_CONFIGS")
+    only = set(only.split(",")) if only else None
+
+    runners = _runners(scale, epochs)
+    if os.environ.get("BENCH_CHILD") == "1":
+        names = [n for n in runners if (not only or n in only)]
+        _run_child(names, runners)
         return
 
-    g = math.exp(sum(math.log(s) for s in speedups) / len(speedups))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAILS.json"), "w") as f:
-        json.dump({"geomean_speedup": g, "configs": details}, f, indent=2)
+    groups = [[n for n in g if (not only or n in only)] for g in GROUPS]
+    groups = [g for g in groups if g]
+
+    def ref_eff(name):
+        r = REF[name]
+        return r * scale if name in ("gat_reddit_train",
+                                     "gmm_reddit_train") else r
+
+    details = {}
+    speedups = []
+    import subprocess
+    for group in groups:
+        remaining = deadline - time.time()
+        if remaining < 45.0 * len(group):
+            for name in group:
+                log(f"# {name}: SKIPPED (wall budget exhausted)")
+                details[name] = {"error": "skipped: wall budget exhausted",
+                                 "speedup": 0.01}
+                speedups.append(0.01)
+            continue
+        t0 = time.time()
+        # shrink the measurement cap when the remaining budget is tight
+        mw = min(MEASURE_WALL, max(15.0, remaining / (2.0 * len(group))))
+        env = dict(os.environ, BENCH_CONFIGS=",".join(group), BENCH_CHILD="1",
+                   BENCH_MEASURE_WALL=str(mw))
+        timeout_s = min(remaining - 5.0, cfg_timeout * len(group))
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=timeout_s)
+            stdout, stderr, rc = r.stdout, r.stderr, r.returncode
+        except subprocess.TimeoutExpired as te:
+            stdout = (te.stdout or b"").decode("utf-8", "replace") \
+                if isinstance(te.stdout, bytes) else (te.stdout or "")
+            stderr, rc = "subprocess timeout", 124
+        got = {}
+        for line in stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except Exception:
+                continue
+            if isinstance(rec, dict) and "_config" in rec:
+                got[rec["_config"]] = rec
+        wall = round(time.time() - t0, 1)
+        for name in group:
+            rec = got.get(name)
+            if rec is None or rec.get("_seconds") is None:
+                err = (rec or {}).get("_error") or \
+                    f"subprocess rc={rc}: {(stderr or '')[-300:]}"
+                log(f"# {name}: FAILED {err}")
+                details[name] = {"error": err, "speedup": 0.01}
+                speedups.append(0.01)
+                continue
+            dt, peak_mb = rec["_seconds"], rec.get("_peak_mb")
+            sp = ref_eff(name) / dt
+            details[name] = {"seconds": dt, "reference": ref_eff(name),
+                             "speedup": sp, "peak_device_mb": peak_mb,
+                             "bench_wall_s": wall}
+            speedups.append(sp)
+            log(f"# {name}: {dt:.6f}s ref={ref_eff(name):.6f}s "
+                f"speedup={sp:.2f}x peak={peak_mb}MB (group wall {wall:.0f}s)")
+
+    g = math.exp(sum(math.log(max(s, 1e-9)) for s in speedups)
+                 / max(len(speedups), 1)) if speedups else 0.0
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DETAILS.json")
+    g_all, n_all = _merge_details(path, details, g)
     print(json.dumps({"metric": "dgnn_suite_geomean_speedup",
-                      "value": round(g, 4), "unit": "x",
-                      "vs_baseline": round(g, 4)}))
+                      "value": round(g_all, 4), "unit": "x",
+                      "vs_baseline": round(g_all, 4)}))
 
 
 if __name__ == "__main__":

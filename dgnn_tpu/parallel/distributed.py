@@ -71,9 +71,10 @@ class ScalingReport:
 
 def scaling_report(shards, row_bytes: int, *,
                    ici_gbps: float = 45.0,
-                   rows_per_s: float = 140e6,
-                   dense_pairs_per_s: float = 4.0e10,
-                   single_rows: int | None = None) -> ScalingReport:
+                   rows_per_s: float | None = None,
+                   dense_pairs_per_s: float | None = None,
+                   single_rows: int | None = None,
+                   single_dense_pairs: int | None = None) -> ScalingReport:
     """Estimate multi-chip scaling efficiency from a static partition.
 
     Everything is derivable without hardware: the halo plan fixes the bytes
@@ -85,10 +86,24 @@ def scaling_report(shards, row_bytes: int, *,
       shards: GraphShards (parallel/partition.py).
       row_bytes: bytes per exchanged feature row (e.g. H*F*4 + H*4).
       ici_gbps: per-direction ICI bandwidth per chip (v5e ~45 GB/s/link).
-      rows_per_s: measured gather rate wall.
-      single_rows: single-chip row accesses for the same graph (defaults to
-        the sum over shards — exact when partitioning adds no slots).
+      rows_per_s: measured EFFECTIVE slot rate of the production binned
+        pass (default: graph.hub.GATHER_ROWS_PER_S, the calibrated 45e6 —
+        not the 140e6 bare-gather figure, which under-weights the binned
+        path ~3x; docs/PERF_NOTES.md).
+      dense_pairs_per_s: dense hub-kernel rate (default hub.DENSE_PAIRS_PER_S).
+      single_rows: single-chip BINNED row accesses for the same graph
+        (defaults to the sum over shards — exact when partitioning adds no
+        slots).  Pass the single-chip hub-dense plan's residual rows so
+        efficiency is measured against the FAST single-chip formulation.
+      single_dense_pairs: single-chip dense-block candidate pairs (tiles *
+        RT * CT); defaults to the sum over shards.
     """
+    from ..graph import hub as _hub
+
+    if rows_per_s is None:
+        rows_per_s = _hub.GATHER_ROWS_PER_S
+    if dense_pairs_per_s is None:
+        dense_pairs_per_s = _hub.DENSE_PAIRS_PER_S
     p = shards.num_shards
     halo_rows = int(shards.halo_max) * (p - 1)
     halo_bytes = float(halo_rows * row_bytes)
@@ -99,13 +114,25 @@ def scaling_report(shards, row_bytes: int, *,
         segs = sum(int(n.shape[1]) for n in adj.row)
         return slots + segs
 
+    def adj_pairs(adj):
+        d = getattr(adj, "dense", None)
+        if d is None:
+            return 0
+        # schedule entries * RT * CT candidate pairs per pass
+        return int(d.rc.shape[1] if d.rc.ndim > 1 else d.rc.shape[0]) \
+            * int(d.mask.shape[-2]) * int(d.mask.shape[-1]) * 8
+
     local_rows = (adj_rows(shards.fwd_local) + adj_rows(shards.fwd_halo)
                   + adj_rows(shards.bwd))
+    dense_pairs = (adj_pairs(shards.fwd_local) + adj_pairs(shards.fwd_halo)
+                   + adj_pairs(shards.bwd))
     local_s = local_rows / rows_per_s
-    dense_s = 0.0  # shards carry no dense block yet
+    dense_s = dense_pairs / dense_pairs_per_s
     if single_rows is None:
         single_rows = local_rows * p
-    t1 = single_rows / rows_per_s
+    if single_dense_pairs is None:
+        single_dense_pairs = dense_pairs * p
+    t1 = single_rows / rows_per_s + single_dense_pairs / dense_pairs_per_s
     tp = max(local_s, comm_s) + dense_s  # overlap: local hides the exchange
     eff = t1 / (p * tp) if tp > 0 else 1.0
     return ScalingReport(num_shards=p, halo_rows_per_shard=halo_rows,
