@@ -141,19 +141,24 @@ def plan_dense(row_ptr: np.ndarray, col_ind: np.ndarray,
     costs CT setup-gather rows (source features), a used row chunk RT rows
     (destination scalars) — amortized over the tiles that share them, which
     the greedy drop loop below accounts for.
+
+    The adjacency may be rectangular: the column index space is
+    ``len(out_deg)`` (e.g. a graph shard's extended local+halo space,
+    parallel/partition.py), which need not equal the row count.
     """
     row_ptr = np.asarray(row_ptr, np.int64)
     deg_in = np.diff(row_ptr)
     n = len(deg_in)
+    n_cols = len(out_deg)
     rows_by_rank = np.argsort(deg_in, kind="stable")[::-1].astype(np.int64)
     cols_by_rank = np.argsort(out_deg, kind="stable")[::-1].astype(np.int64)
     rank_in = np.empty(n, np.int64)
     rank_in[rows_by_rank] = np.arange(n)
-    rank_out = np.empty(n, np.int64)
-    rank_out[cols_by_rank] = np.arange(n)
+    rank_out = np.empty(n_cols, np.int64)
+    rank_out[cols_by_rank] = np.arange(n_cols)
 
     nrc = -(-n // DENSE_RT)
-    nct = -(-n // DENSE_CT)
+    nct = -(-n_cols // DENSE_CT)
     ti = (np.repeat(rank_in, deg_in) // DENSE_RT).astype(np.int64)
     tj = (rank_out[col_ind] // DENSE_CT).astype(np.int64)
     hist = np.bincount(ti * nct + tj, minlength=nrc * nct).reshape(nrc, nct)
@@ -190,11 +195,14 @@ def plan_dense(row_ptr: np.ndarray, col_ind: np.ndarray,
 
 def build_dense_numpy(row_ptr: np.ndarray, col_ind: np.ndarray,
                       row_sel: np.ndarray, col_sel: np.ndarray,
-                      keep: np.ndarray | None = None):
+                      keep: np.ndarray | None = None,
+                      num_cols: int | None = None):
     """Materialize the tile-sparse dense block + residual CSR.
 
     Args:
-      row_ptr/col_ind: the adjacency (any direction).
+      row_ptr/col_ind: the adjacency (any direction; may be rectangular —
+        pass ``num_cols`` when the column id space differs from the row
+        count, e.g. a shard's extended local+halo space).
       row_sel: node ids whose rank-rows participate (rank order = position);
         col_sel: node ids whose rank-columns participate.  ``keep[i, j]``
         selects tile (row chunk i of row_sel, col tile j of col_sel); None
@@ -207,6 +215,7 @@ def build_dense_numpy(row_ptr: np.ndarray, col_ind: np.ndarray,
     row_ptr = np.asarray(row_ptr, np.int64)
     col_ind = np.asarray(col_ind, np.int64)
     n = len(row_ptr) - 1
+    nc = n if num_cols is None else int(num_cols)
     deg = np.diff(row_ptr)
     row_sel = np.asarray(row_sel, np.int64)
     col_sel = np.asarray(col_sel, np.int64)
@@ -221,7 +230,7 @@ def build_dense_numpy(row_ptr: np.ndarray, col_ind: np.ndarray,
     # rank position (or -1) per node id, in each axis
     row_rank = np.full(n, -1, np.int64)
     row_rank[row_sel] = np.arange(len(row_sel))
-    col_rank = np.full(n, -1, np.int64)
+    col_rank = np.full(nc, -1, np.int64)
     col_rank[col_sel] = np.arange(len(col_sel))
 
     # compact kept chunks / col tiles

@@ -104,11 +104,17 @@ def _concat_rows(*parts):
 
 
 def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
-                 seed, training, with_pos=True):
+                 seed, training, with_pos=True, gid=None):
     """Per-bin streaming pass: per-segment (max, sumexp, weighted acc) plus —
     when ``with_pos`` (training) — the sign-split partials (sum-exp and
     weighted acc restricted to edges with score >= 0) that make softmax
-    backward's per-destination half node-local (see module docstring)."""
+    backward's per-destination half node-local (see module docstring).
+
+    ``gid`` (optional [num_src_ids] int32): translation from the adjacency's
+    id space to GLOBAL node ids for the dropout hash — graph shards index
+    sources in a local+halo space, and keying pair_keep on global ids makes
+    the sharded mask bit-identical to single-chip (parallel/partition.py
+    ext_gids).  Costs one extra [S, W] gather, only when dropout is on."""
     H = ar.shape[-1]
     F = feat.shape[-1]
     chunk = chunk_rows_for_budget(width, H * F + H)
@@ -123,8 +129,11 @@ def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
         m = jnp.max(s, axis=1)  # [S, H]; -inf for empty segments
         w = jnp.where(mask[..., None], jnp.exp(s - m[:, None, :]), 0.0)
         l = jnp.sum(w, axis=1)  # [S, H]
-        w_agg = (w * pair_keep(seed, row_c[:, None], nbr_c, H, p)
-                 if (training and p > 0) else w)
+        if training and p > 0:
+            dk = (row_c, nbr_c) if gid is None else (gid[row_c], gid[nbr_c])
+            w_agg = w * pair_keep(seed, dk[0][:, None], dk[1], H, p)
+        else:
+            w_agg = w
         acc = jnp.einsum("swh,swhf->shf", w_agg, x,
                          preferred_element_type=jnp.float32)
         if not with_pos:
@@ -152,31 +161,35 @@ def _dense_dt(name):
 
 
 def _forward_dense(db, ar, ac, feat, slope, p, seed, training, with_pos,
-                   mat_dtype):
+                   mat_dtype, gid=None):
     """Dense hub-block partials via the Pallas masked-flash kernel
     (ops/pallas_dense.py).  Returns (m, l, lpos, acc, accpos) with leading
-    dim = padded dense rows, appended after all bin segments."""
+    dim = padded dense rows, appended after all bin segments.  Attention
+    dropout re-derives pair_keep's hash in-kernel from the tile's row/col id
+    vectors (global ids via ``gid`` on shards) — reference analogue:
+    fused_gatconv_kernel.cu:95-104's in-kernel edge_mask threshold."""
     from .pallas_dense import dense_gat_fwd
 
-    if training and p > 0:
-        raise NotImplementedError(
-            "attn_drop > 0 with a dense hub block is not supported yet; "
-            "build the graph with dense=None for attention dropout")
     H = ar.shape[-1]
     F = feat.shape[-1]
     ar_d = ar[db.row_ids]
     ac_d = ac[db.col_ids]
     x_d = feat.reshape(-1, H * F)[db.col_ids]
+    drop = None
+    if training and p > 0:
+        rid = db.row_ids if gid is None else gid[db.row_ids]
+        cid = db.col_ids if gid is None else gid[db.col_ids]
+        drop = (p, seed, rid, cid)
     m, l, lp, acc, accp = dense_gat_fwd(db, ar_d, ac_d, x_d,
                                         slope=slope, with_pos=with_pos,
-                                        mat_dtype=mat_dtype,
+                                        mat_dtype=mat_dtype, drop=drop,
                                         interpret=_interpret())
     return (m, l, lp if with_pos else None, acc.reshape(-1, H, F),
             accp.reshape(-1, H, F) if with_pos else None)
 
 
 def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
-                 with_pos=True, dense_dtype="bfloat16"):
+                 with_pos=True, dense_dtype="bfloat16", gid=None):
     n = adj.num_rows
     xcat = _concat_rows(feat, ac)
     ms, ls, lps, accs, accps, rows = [], [], [], [], [], []
@@ -184,7 +197,7 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
         m, l, lpos, acc, accpos = _forward_bin(width, nbr, row, count,
                                                ar, ac, feat, xcat, slope, p,
                                                seed, training,
-                                               with_pos=with_pos)
+                                               with_pos=with_pos, gid=gid)
         ms.append(m)
         ls.append(l)
         lps.append(lpos)
@@ -195,7 +208,7 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
         assert adj.cmb is not None, "dense hub block requires a combine table"
         m, l, lpos, acc, accpos = _forward_dense(
             adj.dense, ar, ac, feat, slope, p, seed, training, with_pos,
-            _dense_dt(dense_dtype))
+            _dense_dt(dense_dtype), gid=gid)
         ms.append(m)
         ls.append(l)
         lps.append(lpos)
@@ -245,7 +258,7 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
 
 
 def _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L, ws, feat, zcat,
-                 g_out, slope, p, seed, training):
+                 g_out, slope, p, seed, training, gid=None):
     """Transposed SpMM + d attn_col, one gather over the CSC bins.  Here
     row = source node, nbr = destination rows; ws rides in the gathered row
     so the (per-dst) weightSum never needs an edge-sized permute:
@@ -270,8 +283,11 @@ def _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L, ws, feat, zcat,
         ws_i = sc[..., 3 * H:]
         s_raw = ar_i + ac[row_c][:, None, :]  # [S, W, H]
         a = _recompute_attn(mask, leaky_relu(s_raw, slope), M_i, Li_i)
-        ah = (a * pair_keep(seed, nbr_c, row_c[:, None], H, p)
-              if (training and p > 0) else a)
+        if training and p > 0:
+            dk = (nbr_c, row_c) if gid is None else (gid[nbr_c], gid[row_c])
+            ah = a * pair_keep(seed, dk[0], dk[1][:, None], H, p)
+        else:
+            ah = a
         dx_p = jnp.einsum("swh,swhf->shf", ah, gi,
                           preferred_element_type=jnp.float32)
         ge = jnp.einsum("shf,swhf->swh", feat[row_c].astype(jnp.float32), gi,
@@ -291,26 +307,28 @@ def _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L, ws, feat, zcat,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _gat_fused(slope, p, training, dense_dtype, adj_fwd, adj_bwd, ar, ac,
-               feat, seed):
+               feat, seed, gid=None):
     # primal-only path (inference / no grads): skip the sign-split work
     out, _, _, _, _ = _gat_forward(adj_fwd, ar, ac, feat, slope, p, seed,
                                    training, with_pos=False,
-                                   dense_dtype=dense_dtype)
+                                   dense_dtype=dense_dtype, gid=gid)
     return out
 
 
 def _gat_fused_fwd(slope, p, training, dense_dtype, adj_fwd, adj_bwd, ar, ac,
-                   feat, seed):
+                   feat, seed, gid=None):
     out, M, L, out_pos, r = _gat_forward(adj_fwd, ar, ac, feat, slope, p,
                                          seed, training,
-                                         dense_dtype=dense_dtype)
+                                         dense_dtype=dense_dtype, gid=gid)
     # Residuals: softmax stats + the sign-split aggregates — per-edge
     # attention is recomputed in the single backward pass.
-    return out, (adj_fwd, adj_bwd, ar, ac, feat, M, L, out, out_pos, r, seed)
+    return out, (adj_fwd, adj_bwd, ar, ac, feat, M, L, out, out_pos, r, seed,
+                 gid)
 
 
 def _gat_fused_bwd(slope, p, training, dense_dtype, res, g_out):
-    adj_fwd, adj_bwd, ar, ac, feat, M, L, out, out_pos, r, seed = res
+    (adj_fwd, adj_bwd, ar, ac, feat, M, L, out, out_pos, r, seed,
+     gid) = res
     g_out = g_out.astype(feat.dtype)
     # Bipartite-general: destination rows (adj_fwd) and source rows (adj_bwd)
     # may be different index spaces (graph shards with halo sources).
@@ -332,7 +350,7 @@ def _gat_fused_bwd(slope, p, training, dense_dtype, res, g_out):
     for width, nbr, edge, row, count in adj_bwd.bins():
         dxp, dacp = _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L,
                                  ws, feat, zcat, g_out, slope, p, seed,
-                                 training)
+                                 training, gid=gid)
         dx_parts.append(dxp)
         dac_parts.append(dacp)
         rows_b.append(row)
@@ -344,13 +362,20 @@ def _gat_fused_bwd(slope, p, training, dense_dtype, res, g_out):
         H = ar.shape[-1]
         F = feat.shape[-1]
         HF = H * F
+        drop = None
+        if training and p > 0:
+            # transposed block: rows = sources, cols = destinations
+            sid = db.row_ids if gid is None else gid[db.row_ids]
+            did = db.col_ids if gid is None else gid[db.col_ids]
+            drop = (p, seed, sid, did)
         # rows = sources, cols = destinations of the transposed block; one
         # [C]-row gather of the packed z rows, split into g / stats blocks
         zc = zcat[db.col_ids]
         dxp, dacp = dense_gat_bwd(
             db, ac[db.row_ids], feat.reshape(-1, HF)[db.row_ids],
             zc[:, :HF], zc[:, HF:], slope=slope,
-            H=H, mat_dtype=_dense_dt(dense_dtype), interpret=_interpret())
+            H=H, mat_dtype=_dense_dt(dense_dtype), drop=drop,
+            interpret=_interpret())
         dx_parts.append(dxp.reshape(-1, H, F))
         dac_parts.append(dacp)
     if adj_bwd.cmb is not None:
@@ -366,7 +391,7 @@ def _gat_fused_bwd(slope, p, training, dense_dtype, res, g_out):
         d_ac = _segment_sum(jnp.concatenate(dac_parts), rows_b,
                             n_src).astype(ac.dtype)
     return (float0_like(adj_fwd), float0_like(adj_bwd), d_ar, d_ac, d_feat,
-            float0_like(seed))
+            float0_like(seed), float0_like(gid))
 
 
 _gat_fused.defvjp(_gat_fused_fwd, _gat_fused_bwd)

@@ -61,6 +61,37 @@ def unpack_mask(bits_u8):
     return jnp.concatenate([(b >> k) & 1 for k in range(8)], axis=1)
 
 
+def _kmix32(x):
+    """murmur3 finalizer — MUST match ops/common.py:_mix32 bit-for-bit (the
+    binned gather path and these kernels re-derive the same dropout mask)."""
+    import numpy as np
+
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * np.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _pair_base(seed_u32, dst_u32, src_u32):
+    """pair_keep's per-(dst, src) hash base (ops/common.py:pair_keep):
+    base = mix32(dst * 0x9E3779B9 ^ mix32(src ^ seed * 0x85EBCA6B)).
+    Broadcasts [Rt, 1] x [1, Ct] -> [Rt, Ct] uint32."""
+    import numpy as np
+
+    return _kmix32(dst_u32 * np.uint32(0x9E3779B9)
+                   ^ _kmix32(src_u32 ^ seed_u32 * np.uint32(0x85EBCA6B)))
+
+
+def _pair_u(base_u32, h, num_heads):
+    """Uniform in [0, 1) for head h from the pair base (pair_keep's tail)."""
+    import numpy as np
+
+    z = _kmix32(base_u32 * np.uint32(num_heads) + np.uint32(h))
+    return (z >> 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
 def _sched(db):
     """Full-granularity schedule: (rc, ct, first, mt) int32 + mask."""
     rc = jnp.asarray(db.rc, jnp.int32)
@@ -86,8 +117,12 @@ def _sched_half(db):
 
 
 def _gat_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ar_ref, ac_ref, x_ref,
-                    mb_ref, m_ref, l_ref, lp_ref, acc_ref, accp_ref,
-                    *, H, F, slope, with_pos, mat_dtype):
+                    mb_ref, *rest, H, F, slope, with_pos, mat_dtype,
+                    drop_p=0.0):
+    if drop_p > 0.0:
+        rid_ref, cid_ref, seed_ref = rest[:3]
+        rest = rest[3:]
+    m_ref, l_ref, lp_ref, acc_ref, accp_ref = rest
     # NOTE per-COLUMN scalars (ac) arrive TRANSPOSED as [H, C] and are read
     # by ROW: building [1, Ct] lane vectors from column reads of a [Ct, H]
     # block sends the Mosaic layout search into the weeds (hours-long or
@@ -125,6 +160,15 @@ def _gat_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ar_ref, ac_ref, x_ref,
     mneg = jnp.where(unpack_mask(mb_ref[0]) > 0, 0.0, NEG)  # [Rt, Ct]
     rt = mneg.shape[0]
     Fa = F + 1  # per-head feature block incl. the ones column
+    if drop_p > 0.0:
+        # pair_keep hash base from the tile's (dst row, src col) GLOBAL id
+        # vectors; l/lpos must sum the UNDROPPED weights (softmax stats), so
+        # they leave the matmul's ones column and become VPU row sums while
+        # the aggregation matmuls take the dropped weights.
+        base = _pair_base(seed_ref[0].astype(jnp.uint32),
+                          rid_ref[...].astype(jnp.uint32),
+                          cid_ref[...].astype(jnp.uint32))
+        inv_keep = 1.0 / (1.0 - drop_p)
     for h in range(H):
         ar_h = ar_ref[:, h][:, None]      # [Rt, 1]
         bnd_h = ar_ref[:, H + h][:, None]  # [Rt, 1] per-row score bound
@@ -132,27 +176,40 @@ def _gat_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ar_ref, ac_ref, x_ref,
         s_raw = ar_h + ac_h
         s = jnp.maximum(s_raw, s_raw * slope) + mneg
         ptile = jnp.exp(s - bnd_h)  # [Rt, Ct]; 0 on masked slots
+        if drop_p > 0.0:
+            keep = _pair_u(base, h, H) > drop_p
+            pd = jnp.where(keep, ptile * inv_keep, 0.0)
+        else:
+            pd = ptile
         x_h = x_ref[:, h * Fa:(h + 1) * Fa].astype(mat_dtype)  # [Ct, F+1]
         if with_pos:
-            ppos = jnp.where(s_raw >= 0, ptile, 0.0)
             # ONE [2Rt, Ct] @ [Ct, F+1] matmul for both accumulators AND
             # both row sums (fewer, deeper MXU issues pipeline better)
-            both = jnp.concatenate([ptile, ppos], axis=0).astype(mat_dtype)
+            both = jnp.concatenate([pd, jnp.where(s_raw >= 0, pd, 0.0)],
+                                   axis=0).astype(mat_dtype)
             upd = jax.lax.dot(both, x_h, preferred_element_type=jnp.float32)
             acc_ref[:, h * F:(h + 1) * F] += upd[:rt, :F]
             accp_ref[:, h * F:(h + 1) * F] += upd[rt:, :F]
-            l_ref[:, h] += upd[:rt, F]
-            lp_ref[:, h] += upd[rt:, F]
+            if drop_p > 0.0:
+                l_ref[:, h] += jnp.sum(ptile, axis=1)
+                lp_ref[:, h] += jnp.sum(jnp.where(s_raw >= 0, ptile, 0.0),
+                                        axis=1)
+            else:
+                l_ref[:, h] += upd[:rt, F]
+                lp_ref[:, h] += upd[rt:, F]
         else:
-            upd = jax.lax.dot(ptile.astype(mat_dtype), x_h,
+            upd = jax.lax.dot(pd.astype(mat_dtype), x_h,
                               preferred_element_type=jnp.float32)
             acc_ref[:, h * F:(h + 1) * F] += upd[:, :F]
-            l_ref[:, h] += upd[:, F]
+            if drop_p > 0.0:
+                l_ref[:, h] += jnp.sum(ptile, axis=1)
+            else:
+                l_ref[:, h] += upd[:, F]
 
 
 def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
                   Rt: int = 256, Ct: int = DENSE_CT, with_pos: bool = True,
-                  mat_dtype=jnp.bfloat16, interpret: bool = False):
+                  mat_dtype=jnp.bfloat16, drop=None, interpret: bool = False):
     """Masked-softmax aggregation over the tile-sparse dense block.
 
     Args:
@@ -160,6 +217,10 @@ def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
       ar_d: [R, H] f32 — attn_row of the block's destination rows.
       ac_d: [C, H] f32 — attn_col of the block's source columns.
       x_d:  [C, H*F] features of source columns.
+      drop: optional (p, seed, row_ids [R] i32, col_ids [C] i32) — attention
+        dropout re-derived in-kernel from pair_keep's stateless hash of the
+        GLOBAL (dst, src, head) ids, bit-identical to the binned path
+        (reference analogue: fused_gatconv_kernel.cu:95-104).
     Returns (m, l, lpos, acc, accpos): [R, H] stats and [R, H*F] weighted
     sums — the same per-segment partial tuple the binned path produces, fed
     into the log-sum-exp combine.  accpos is zeros when not ``with_pos``.
@@ -180,8 +241,10 @@ def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
     x_aug = jnp.concatenate(
         [x_d.reshape(C, H, F),
          jnp.ones((C, H, 1), x_d.dtype)], axis=-1).reshape(C, H * (F + 1))
+    drop_p = float(drop[0]) if drop is not None else 0.0
     kern = functools.partial(_gat_fwd_kernel, H=H, F=F, slope=float(slope),
-                             with_pos=with_pos, mat_dtype=mat_dtype)
+                             with_pos=with_pos, mat_dtype=mat_dtype,
+                             drop_p=drop_p)
 
     def row_spec(w):
         return pl.BlockSpec((Rt, w), lambda t, rc, ct, fi, mt: (rc[t], 0))
@@ -193,29 +256,45 @@ def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
         jax.ShapeDtypeStruct((R, HF), jnp.float32),  # acc
         jax.ShapeDtypeStruct((R, HF), jnp.float32),  # accpos
     ]
+    in_specs = [
+        row_spec(2 * H),                                    # [ar | bound]
+        pl.BlockSpec((H, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
+        pl.BlockSpec((Ct, H * (F + 1)),
+                     lambda t, rc, ct, fi, mt: (ct[t], 0)),
+        pl.BlockSpec((1, Rt, Ct // 8),
+                     lambda t, rc, ct, fi, mt: (mt[t], 0, 0)),     # mask
+    ]
+    args = [rc, ct, fi, mt, ar2, ac_t, x_aug, mask]
+    if drop is not None:
+        _, seed, rid, cid = drop
+        in_specs += [
+            row_spec(1),                                           # row ids
+            pl.BlockSpec((1, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # seed
+        ]
+        args += [rid.astype(jnp.int32).reshape(R, 1),
+                 cid.astype(jnp.int32).reshape(1, C),
+                 seed.astype(jnp.uint32).reshape(1)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
-        in_specs=[
-            row_spec(2 * H),                                    # [ar | bound]
-            pl.BlockSpec((H, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
-            pl.BlockSpec((Ct, H * (F + 1)),
-                         lambda t, rc, ct, fi, mt: (ct[t], 0)),
-            pl.BlockSpec((1, Rt, Ct // 8),
-                         lambda t, rc, ct, fi, mt: (mt[t], 0, 0)),     # mask
-        ],
+        in_specs=in_specs,
         out_specs=[row_spec(H), row_spec(H), row_spec(H), row_spec(HF),
                    row_spec(HF)],
     )
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         compiler_params=_PARAMS, interpret=interpret,
-    )(rc, ct, fi, mt, ar2, ac_t, x_aug, mask)
+    )(*args)
 
 
 def _gat_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ac_ref, x_ref, g_ref,
-                    gt_ref, st_ref, mb_ref, dx_ref, dac_ref, *, H, F, slope,
-                    mat_dtype):
+                    gt_ref, st_ref, mb_ref, *rest, H, F, slope,
+                    mat_dtype, drop_p=0.0):
+    if drop_p > 0.0:
+        sid_ref, did_ref, seed_ref = rest[:3]
+        rest = rest[3:]
+    dx_ref, dac_ref = rest
     """Dense-block half of GAT pass B (transposed layout).
 
     Rows = source nodes of the block, cols = destination nodes.
@@ -242,6 +321,12 @@ def _gat_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ac_ref, x_ref, g_ref,
     # the per-pair divide becomes a multiply (Linv is precomputed per
     # destination by the caller).
     mneg = jnp.where(unpack_mask(mb_ref[0]) > 0, 0.0, NEG)
+    if drop_p > 0.0:
+        # transposed block: dst = cols, src = rows (see dense_gat_fwd drop)
+        base = _pair_base(seed_ref[0].astype(jnp.uint32),
+                          did_ref[...].astype(jnp.uint32),
+                          sid_ref[...].astype(jnp.uint32))
+        inv_keep = 1.0 / (1.0 - drop_p)
     for h in range(H):
         g_h = g_ref[:, h * F:(h + 1) * F]          # [Ct, F]
         ar_c = st_ref[h, :][None, :]               # [1, Ct] (row reads)
@@ -252,8 +337,13 @@ def _gat_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ac_ref, x_ref, g_ref,
         s_raw = ar_c + ac_r                        # [Rt, Ct]
         s = jnp.maximum(s_raw, s_raw * slope) + mneg
         a = jnp.exp(s - M_c) * Li_c
+        if drop_p > 0.0:
+            keep = _pair_u(base, h, H) > drop_p
+            ah = jnp.where(keep, a * inv_keep, 0.0)
+        else:
+            ah = a
         dx_ref[:, h * F:(h + 1) * F] += jax.lax.dot(
-            a.astype(mat_dtype), g_h.astype(mat_dtype),
+            ah.astype(mat_dtype), g_h.astype(mat_dtype),
             preferred_element_type=jnp.float32)
         x_h = x_ref[:, h * F:(h + 1) * F]          # [Rt, F]
         # ge = <x_r, g_c> via a NORMAL matmul against the pre-transposed
@@ -262,19 +352,21 @@ def _gat_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ac_ref, x_ref, g_ref,
             x_h.astype(mat_dtype), gt_ref[h * F:(h + 1) * F, :],
             preferred_element_type=jnp.float32)    # [Rt, Ct]
         dprime = jnp.where(s_raw >= 0, 1.0, slope)
-        u = a * (ge - ws_c) * dprime
+        u = (ah * ge - a * ws_c) * dprime
         dac_ref[:, h] += jnp.sum(u, axis=1)
 
 
 def dense_gat_bwd(db, ac_d, x_d, g_d, st_d, *,
                   slope: float, H: int, Rt: int = 256, Ct: int = DENSE_CT,
-                  mat_dtype=jnp.bfloat16, interpret: bool = False):
+                  mat_dtype=jnp.bfloat16, drop=None, interpret: bool = False):
     """Dense-block dX / d attn_col partials over the transposed block.
 
     db: the BACKWARD direction's DenseBlock (tile schedule + masks);
     ac_d: [R, H] attn_col of source rows; x_d: [R, H*F] source features;
     g_d: [C, H*F] grad_out per destination; st_d: [C, 4H] packed
     per-destination softmax scalars [ar | M | Linv | ws].
+    drop: optional (p, seed, src_ids [R] i32, dst_ids [C] i32) — must carry
+    the same GLOBAL ids as the forward pass so the re-derived mask matches.
     Returns (dx [R, H*F], dac [R, H]).
     """
     R = ac_d.shape[0]
@@ -286,8 +378,9 @@ def dense_gat_bwd(db, ac_d, x_d, g_d, st_d, *,
     T = rc.shape[0]
     g_t = g_d.T.astype(mat_dtype)  # [HF, C] once per pass (see kernel note)
     st_t = st_d.T.astype(jnp.float32)  # [4H, C] (see kernel note)
+    drop_p = float(drop[0]) if drop is not None else 0.0
     kern = functools.partial(_gat_bwd_kernel, H=H, F=F, slope=float(slope),
-                             mat_dtype=mat_dtype)
+                             mat_dtype=mat_dtype, drop_p=drop_p)
 
     def row_spec(w):
         return pl.BlockSpec((Rt, w), lambda t, rc, ct, fi, mt: (rc[t], 0))
@@ -295,19 +388,31 @@ def dense_gat_bwd(db, ac_d, x_d, g_d, st_d, *,
     def col_spec(w):
         return pl.BlockSpec((Ct, w), lambda t, rc, ct, fi, mt: (ct[t], 0))
 
+    in_specs = [
+        row_spec(H),                                               # ac
+        row_spec(HF),                                              # x
+        col_spec(HF),                                              # g
+        pl.BlockSpec((HF, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
+        pl.BlockSpec((4 * H, Ct),
+                     lambda t, rc, ct, fi, mt: (0, ct[t])),   # stats^T
+        pl.BlockSpec((1, Rt, Ct // 8),
+                     lambda t, rc, ct, fi, mt: (mt[t], 0, 0)),     # mask
+    ]
+    args = [rc, ct, fi, mt, ac_d, x_d, g_d, g_t, st_t, mask]
+    if drop is not None:
+        _, seed, sid, did = drop
+        in_specs += [
+            row_spec(1),                                           # src ids
+            pl.BlockSpec((1, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # seed
+        ]
+        args += [sid.astype(jnp.int32).reshape(R, 1),
+                 did.astype(jnp.int32).reshape(1, C),
+                 seed.astype(jnp.uint32).reshape(1)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
-        in_specs=[
-            row_spec(H),                                               # ac
-            row_spec(HF),                                              # x
-            col_spec(HF),                                              # g
-            pl.BlockSpec((HF, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
-            pl.BlockSpec((4 * H, Ct),
-                         lambda t, rc, ct, fi, mt: (0, ct[t])),   # stats^T
-            pl.BlockSpec((1, Rt, Ct // 8),
-                         lambda t, rc, ct, fi, mt: (mt[t], 0, 0)),     # mask
-        ],
+        in_specs=in_specs,
         out_specs=[row_spec(HF), row_spec(H)],
     )
     return pl.pallas_call(
@@ -315,7 +420,7 @@ def dense_gat_bwd(db, ac_d, x_d, g_d, st_d, *,
         out_shape=[jax.ShapeDtypeStruct((R, HF), jnp.float32),
                    jax.ShapeDtypeStruct((R, H), jnp.float32)],
         compiler_params=_PARAMS, interpret=interpret,
-    )(rc, ct, fi, mt, ac_d, x_d, g_d, g_t, st_t, mask)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------

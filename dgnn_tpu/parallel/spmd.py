@@ -35,12 +35,17 @@ def local_view(shards: GraphShards) -> GraphShards:
     return jax.tree.map(lambda x: x[0], shards)
 
 
-def merge_binned(a: BinnedAdj, b: BinnedAdj) -> BinnedAdj:
+def merge_binned(a: BinnedAdj, b: BinnedAdj, cmb=None, dense=None) -> BinnedAdj:
     """Union of two bin sets over the same destination rows (local + halo
-    edge partitions combine through the segment log-sum-exp merge)."""
+    edge partitions combine through the segment log-sum-exp merge).
+
+    ``cmb``/``dense``: the shard's precomputed combine table and dense hub
+    block (partition.GraphShards.fwd_cmb/fwd_dense) — the cmb's positions
+    cover a's bins ++ b's bins ++ dense rows, exactly this merged adjacency's
+    partial order, so the fused ops run their fast scatter-free + MXU path."""
     assert a.num_rows == b.num_rows
     return BinnedAdj(nbr=a.nbr + b.nbr, edge=a.edge + b.edge, row=a.row + b.row,
-                     count=a.count + b.count, cmb=None, dense=None,
+                     count=a.count + b.count, cmb=cmb, dense=dense,
                      widths=a.widths + b.widths, num_rows=a.num_rows,
                      num_edges=a.num_edges + b.num_edges)
 
@@ -117,6 +122,7 @@ class ShardedGATConv(nn.Module):
     negative_slope: float = 0.2
     residual: bool = False
     use_bias: bool = True
+    dense_dtype: str = "bfloat16"  # MXU input dtype of the dense hub block
 
     @nn.compact
     def __call__(self, local: GraphShards, feat, *, training: bool = False):
@@ -139,14 +145,18 @@ class ShardedGATConv(nn.Module):
         ac_ext = ext[:, h * f:]
 
         if training and self.attn_drop > 0.0:
+            # same seed on every shard; pair_keep keys on GLOBAL ids
+            # (ext_gids), so the sharded mask is bit-identical to single-chip
             seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
-            seed = seed ^ jax.lax.axis_index(self.axis_name).astype(jnp.uint32)
         else:
             seed = jnp.uint32(0)
-        adj_fwd = merge_binned(local.fwd_local, local.fwd_halo)
+        adj_fwd = merge_binned(local.fwd_local, local.fwd_halo,
+                               cmb=local.fwd_cmb, dense=local.fwd_dense)
+        adj_bwd = dataclasses.replace(local.bwd, cmb=local.bwd_cmb,
+                                      dense=local.bwd_dense)
         rst = _gat_fused(self.negative_slope, float(self.attn_drop),
-                         bool(training), "bfloat16", adj_fwd, local.bwd,
-                         attn_row, ac_ext, feat_ext, seed)
+                         bool(training), self.dense_dtype, adj_fwd, adj_bwd,
+                         attn_row, ac_ext, feat_ext, seed, local.ext_gids)
         if self.residual:
             res = x if feat.shape[-1] == h * f else nn.Dense(
                 h * f, use_bias=False, kernel_init=init, name="res_fc")(feat).reshape(-1, h, f)
@@ -189,11 +199,17 @@ class ShardedGMMConv(nn.Module):
         pw = self.param("pseudo_w", nn.initializers.lecun_normal(),
                         (din, self.dim))
         pbias = self.param("pseudo_b", nn.initializers.zeros, (self.dim,))
-        adj_fwd = merge_binned(local.fwd_local, local.fwd_halo)
+        # per-edge-pseudo GMM has no dense-hub kernel, so the combine tables
+        # apply only when the shards were partitioned with dense=None (a
+        # dense-built cmb indexes dense partials _gmm2 never produces)
+        fcmb = local.fwd_cmb if local.fwd_dense is None else None
+        bcmb = local.bwd_cmb if local.bwd_dense is None else None
+        adj_fwd = merge_binned(local.fwd_local, local.fwd_halo, cmb=fcmb)
+        adj_bwd = dataclasses.replace(local.bwd, cmb=bcmb, dense=None)
         # _gmm2's backward emits shard-local partials for these params
         pw, pbias, mu, inv_sigma = (psum_grad(v, self.axis_name)
                                     for v in (pw, pbias, mu, inv_sigma))
-        rst = _gmm2(True, adj_fwd, local.bwd, pf_l + pf_h, pb, feat_ext, pw,
+        rst = _gmm2(True, adj_fwd, adj_bwd, pf_l + pf_h, pb, feat_ext, pw,
                     pbias, mu, inv_sigma)
         rst = jnp.sum(rst, axis=1)
         if self.use_bias:
@@ -239,6 +255,7 @@ class ShardedGAT(nn.Module):
     feat_drop: float = 0.0
     attn_drop: float = 0.0
     negative_slope: float = 0.2
+    dense_dtype: str = "bfloat16"
 
     @nn.compact
     def __call__(self, local: GraphShards, feat, *, training: bool = False):
@@ -252,6 +269,7 @@ class ShardedGAT(nn.Module):
                                feat_drop=self.feat_drop,
                                attn_drop=self.attn_drop,
                                negative_slope=self.negative_slope,
+                               dense_dtype=self.dense_dtype,
                                use_bias=layer > 0,
                                name=f"gat_{layer}")(local, h, training=training)
             h = h.reshape(h.shape[0], -1)
@@ -261,5 +279,6 @@ class ShardedGAT(nn.Module):
                                 feat_drop=self.feat_drop,
                                 attn_drop=self.attn_drop,
                                 negative_slope=self.negative_slope,
+                                dense_dtype=self.dense_dtype,
                                 name="gat_out")(local, h, training=training)
         return jnp.mean(logits, axis=1)

@@ -93,11 +93,29 @@ def test_dense_bf16_close(rng):
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
 
 
-def test_dense_dropout_raises(rng):
-    g_dense, _, ar, ac, feat, _ = _setup(rng)
-    with pytest.raises(NotImplementedError):
-        gat_aggregate(g_dense, ar, ac, feat, attn_drop=0.5,
-                      key=jax.random.PRNGKey(0), training=True)
+@pytest.mark.parametrize("p", [0.3, 0.7])
+def test_dense_dropout_matches_binned(rng, p):
+    """Attention dropout re-derived inside the dense kernels (pair_keep's
+    hash from the tile's id vectors) must match the binned gather path
+    bit-for-bit — same (seed, dst, src, head) keys — in value AND gradient
+    (reference analogue: fused_gatconv_kernel.cu:95-104)."""
+    g_dense, g_plain, ar, ac, feat, _ = _setup(rng)
+    key = jax.random.PRNGKey(3)
+
+    def loss(g, ar, ac, feat):
+        out = gat_aggregate(g, ar, ac, feat, attn_drop=p, key=key,
+                            training=True, dense_dtype="float32")
+        return jnp.sum(jnp.sin(out)), out
+
+    (_, out_d), gd = jax.value_and_grad(
+        lambda *a: loss(g_dense, *a), argnums=(0, 1, 2), has_aux=True)(
+            ar, ac, feat)
+    (_, out_p), gp = jax.value_and_grad(
+        lambda *a: loss(g_plain, *a), argnums=(0, 1, 2), has_aux=True)(
+            ar, ac, feat)
+    np.testing.assert_allclose(out_d, out_p, rtol=1e-4, atol=1e-5)
+    for a, b in zip(gd, gp):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
 
 
 def test_plan_dense_small_graph_declines(rng):

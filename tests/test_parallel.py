@@ -102,6 +102,87 @@ def test_sharded_grads_match_single(rng):
                                    err_msg=jax.tree_util.keystr(k))
 
 
+def test_sharded_dense_hub_matches_single(rng):
+    """Shards carrying per-shard dense hub blocks + combine tables (the fast
+    sharded hot path) must match the single-chip op: forward and grads."""
+    n, h, f, num_shards = 48, 2, 4, 4
+    src, dst = random_graph(rng, n, 6, power_law=True)
+    mesh = _mesh(num_shards)
+    shards = partition_graph(src, dst, n, num_shards, widths=(4, 16),
+                             dense=(8, 24))
+    assert shards.fwd_dense is not None and shards.bwd_dense is not None
+    g = build_graph(src, dst, n, widths=(4, 16))
+    n_pad = shards.padded_nodes
+
+    feat = rng.normal(size=(n, 10)).astype(np.float32)
+    feat_pad = np.zeros((n_pad, 10), np.float32)
+    feat_pad[:n] = feat
+    mask_pad = np.zeros(n_pad, np.float32)
+    mask_pad[:n] = 1.0
+
+    model = ShardedGAT(num_layers=1, n_hidden=f, n_classes=3, heads=(h, 1),
+                       dense_dtype="float32")
+    ref_model = GAT(num_layers=1, n_hidden=f, n_classes=3, heads=(h, 1))
+    params = ref_model.init(jax.random.PRNGKey(0), g, jnp.asarray(feat))
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # info, so shard_map's vma checker cannot see through the dense kernels
+    fwd = shard_map(lambda p, s, x: model.apply(p, local_view(s), x),
+                    mesh=mesh, in_specs=(P(), P("graph"), P("graph")),
+                    out_specs=P("graph"), check_vma=False)
+    out = jax.jit(fwd)(params, shards, jnp.asarray(feat_pad))
+    ref = ref_model.apply(params, g, jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss_sharded(params):
+        o = fwd(params, shards, jnp.asarray(feat_pad))
+        return jnp.sum(jnp.sin(o) * jnp.asarray(mask_pad)[:, None])
+
+    def loss_single(params):
+        return jnp.sum(jnp.sin(ref_model.apply(params, g, jnp.asarray(feat))))
+
+    gs = jax.jit(jax.grad(loss_sharded))(params)
+    gr = jax.grad(loss_single)(params)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("dense", [None, (8, 24)])
+def test_sharded_attn_dropout_matches_single(rng, dense):
+    """pair_keep keys on GLOBAL node ids in the sharded path (ext_gids), so
+    the attention-dropout mask — binned bins, halo bins and dense hub tiles
+    alike — is bit-identical to single-chip for the same rng."""
+    n, h, f, num_shards, p_drop = 48, 2, 4, 4, 0.4
+    src, dst = random_graph(rng, n, 6, power_law=True)
+    mesh = _mesh(num_shards)
+    shards = partition_graph(src, dst, n, num_shards, widths=(4, 16),
+                             dense=dense)
+    g = build_graph(src, dst, n, widths=(4, 16))
+    n_pad = shards.padded_nodes
+    feat = rng.normal(size=(n, 10)).astype(np.float32)
+    feat_pad = np.zeros((n_pad, 10), np.float32)
+    feat_pad[:n] = feat
+
+    model = ShardedGAT(num_layers=1, n_hidden=f, n_classes=3, heads=(h, 1),
+                       attn_drop=p_drop, dense_dtype="float32")
+    ref_model = GAT(num_layers=1, n_hidden=f, n_classes=3, heads=(h, 1),
+                    attn_drop=p_drop)
+    params = ref_model.init(jax.random.PRNGKey(0), g, jnp.asarray(feat))
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+
+    fwd = shard_map(
+        lambda p, s, x: model.apply(p, local_view(s), x, training=True,
+                                    rngs=rngs),
+        mesh=mesh, in_specs=(P(), P("graph"), P("graph")),
+        out_specs=P("graph"), check_vma=False)
+    out = jax.jit(fwd)(params, shards, jnp.asarray(feat_pad))
+    ref = ref_model.apply(params, g, jnp.asarray(feat), training=True,
+                          rngs=rngs)
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_sharded_monet_matches_single(rng):
     """ShardedMoNet (halo all_to_all + resharded pseudo tables) vs the
     single-device binned MoNet: forward and gradients."""
