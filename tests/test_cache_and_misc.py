@@ -121,3 +121,24 @@ def test_knn_exact_matches_bruteforce(rng):
         for i in range(20):
             kth = np.sort(d2[b, i])[k - 1]
             np.testing.assert_array_equal(m[b, i], d2[b, i] <= kth)
+
+
+def test_structure_task_labels_are_graph_derived(rng):
+    """BFS-Voronoi labels from an existing CSR: all classes populated, edge
+    homophily well above the random-label rate, masks disjoint."""
+    from dgnn_tpu.data.synthetic import structure_task_from_csr
+    from dgnn_tpu.graph.build import coo_to_csr
+
+    n, c = 500, 7
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n, 3000)
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    rp, ci = coo_to_csr(s, d, n)
+    feats, lab, tr, va, te = structure_task_from_csr(rp, ci, c, 32, seed=1)
+    assert feats.shape == (n, 32) and feats.dtype == np.float32
+    assert len(np.unique(lab)) == c
+    csr_dst = np.repeat(np.arange(n), np.diff(rp))
+    homophily = (lab[ci] == lab[csr_dst]).mean()
+    assert homophily > 2.0 / c, homophily  # random labels give ~1/c
+    assert not (tr & va).any() and not (tr & te).any() and not (va & te).any()
