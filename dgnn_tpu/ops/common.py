@@ -103,8 +103,22 @@ def pair_keep(seed: jax.Array, dst: jax.Array, src: jax.Array,
 
 
 def float0_like(tree):
-    """Cotangents for non-differentiable (integer) pytree leaves."""
-    return jax.tree.map(lambda x: np.zeros(np.shape(x), dtype=jax.dtypes.float0), tree)
+    """Cotangents for non-differentiable pytree leaves.
+
+    The custom_vjp contract only permits ``float0`` cotangents for integer /
+    bool primal leaves; a float-dtype leaf (e.g. float32 pseudo tables that
+    the op treats as constants) must get a real zero cotangent of the same
+    dtype or JAX rejects the bwd rule under shard_map's vma checking
+    (round-3 MULTICHIP failure).  The zeros are traced (jnp), so they carry
+    the surrounding shard_map's varying-mesh-axes and are DCE'd by XLA
+    whenever the caller never requests that gradient.
+    """
+    def zero(x):
+        if jnp.issubdtype(jnp.result_type(x), jnp.inexact):
+            return jnp.zeros_like(x)
+        return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+    return jax.tree.map(zero, tree)
 
 
 def chunk_rows_for_budget(width: int, elems_per_slot: int, itemsize: int = 4,

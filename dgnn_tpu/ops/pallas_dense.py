@@ -55,6 +55,20 @@ __all__ = ["dense_gat_fwd", "dense_gat_bwd", "dense_gmm_fwd",
            "dense_gmm_bwd", "DENSE_CT", "unpack_mask"]
 
 
+def _vma_of(*arrays):
+    """Union of the inputs' varying-mesh-axes, for pallas_call out_shapes.
+
+    pallas_call does not infer output vma; under shard_map with
+    check_vma=True (the default) every out ShapeDtypeStruct must state the
+    mesh axes it varies over or JAX rejects the call.  Deriving it as the
+    union of the input avals' vma keeps the kernels valid both inside
+    shard_map (vma = {mesh axes}) and outside (vma = frozenset())."""
+    vma = frozenset()
+    for a in arrays:
+        vma = vma | jax.typeof(a).vma
+    return vma
+
+
 def unpack_mask(bits_u8):
     """[Rt, Ct//8] uint8 (bit-plane layout) -> [Rt, Ct] int32 in {0, 1}."""
     b = bits_u8.astype(jnp.int32)
@@ -249,12 +263,13 @@ def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
     def row_spec(w):
         return pl.BlockSpec((Rt, w), lambda t, rc, ct, fi, mt: (rc[t], 0))
 
+    vma = _vma_of(ar_d, ac_d, x_d, mask)
     out_shape = [
-        jax.ShapeDtypeStruct((R, H), jnp.float32),   # m
-        jax.ShapeDtypeStruct((R, H), jnp.float32),   # l
-        jax.ShapeDtypeStruct((R, H), jnp.float32),   # lpos
-        jax.ShapeDtypeStruct((R, HF), jnp.float32),  # acc
-        jax.ShapeDtypeStruct((R, HF), jnp.float32),  # accpos
+        jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # m
+        jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # l
+        jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # lpos
+        jax.ShapeDtypeStruct((R, HF), jnp.float32, vma=vma),  # acc
+        jax.ShapeDtypeStruct((R, HF), jnp.float32, vma=vma),  # accpos
     ]
     in_specs = [
         row_spec(2 * H),                                    # [ar | bound]
@@ -415,10 +430,11 @@ def dense_gat_bwd(db, ac_d, x_d, g_d, st_d, *,
         in_specs=in_specs,
         out_specs=[row_spec(HF), row_spec(H)],
     )
+    vma = _vma_of(ac_d, x_d, g_d, st_d, mask)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((R, HF), jnp.float32),
-                   jax.ShapeDtypeStruct((R, H), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((R, HF), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma)],
         compiler_params=_PARAMS, interpret=interpret,
     )(*args)
 
@@ -504,7 +520,8 @@ def dense_gmm_fwd(db, beta_r, alpha_c, x_c, mu, isig, *,
     )
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((R, KF), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (R, KF), jnp.float32, vma=_vma_of(beta_r, alpha_t, x_c, mask)),
         compiler_params=_PARAMS, interpret=interpret,
     )(rc, ct, fi, mt, beta_r, alpha_t, x_c, mask, mu, isig)
 
@@ -626,9 +643,10 @@ def dense_gmm_bwd(db, alpha_r, beta_c, x_r, g_c, df_c, mu, isig, *,
         ],
         out_specs=[row_spec(KF), row_spec(ns)],
     )
+    vma = _vma_of(alpha_r, beta_t, x_r, g_c, mask)
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((R, KF), jnp.float32),
-                   jax.ShapeDtypeStruct((R, ns), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((R, KF), jnp.float32, vma=vma),
+                   jax.ShapeDtypeStruct((R, ns), jnp.float32, vma=vma)],
         compiler_params=_PARAMS, interpret=interpret,
     )(rc, ct, fi, mt, alpha_r, beta_t, x_r, g_c, g_t, df_t, mask, mu, isig)
