@@ -63,20 +63,34 @@ _enable_compile_cache()
 # Per-config measurement wall cap (seconds) for time_epoch_loop doubling.
 MEASURE_WALL = float(os.environ.get("BENCH_MEASURE_WALL", "90"))
 
-# reference numbers: BASELINE.md (test/gat_result.csv, gmm_result.csv,
-# edgeconv_result.csv)
+# reference numbers: BASELINE.md — every dgNN row of test/gat_result.csv,
+# gmm_result.csv, edgeconv_result.csv (train s/epoch and inference s)
 REF = {
-    "gat_cora_train": 0.00398,
+    "gat_cora_train": 0.00398,        # gat_result.csv:3
     "gat_cora_infer": 0.00036,
-    "gat_pubmed_train": 0.00470,
-    "gat_citeseer_train": 0.00501,
-    "gat_reddit_train": 0.6518,
-    "gmm_cora_train": 0.00386,
-    "gmm_pubmed_train": 0.00375,
-    "gmm_reddit_train": 0.6340,
-    "edgeconv_modelnet_train": 17.39,
+    "gat_pubmed_train": 0.00470,      # gat_result.csv:6
+    "gat_pubmed_infer": 0.000812,
+    "gat_citeseer_train": 0.00501,    # gat_result.csv:9
+    "gat_citeseer_infer": 0.000590,
+    "gat_reddit_train": 0.6518,       # gat_result.csv:11
+    "gat_reddit_infer": 0.138770,
+    "gat_reddit_h1_train": 0.247250,  # gat_result.csv:19 (heads=1)
+    "gat_reddit_h1_infer": 0.062236,
+    "gmm_cora_train": 0.00386,        # gmm_result.csv:3 (K=3 dim=2)
+    "gmm_cora_infer": 0.000332,
+    "gmm_pubmed_train": 0.00375,      # gmm_result.csv:6
+    "gmm_pubmed_infer": 0.000625,
+    "gmm_citeseer_train": 0.003927,   # gmm_result.csv:9
+    "gmm_citeseer_infer": 0.000458,
+    "gmm_reddit_train": 0.6340,       # gmm_result.csv:15 (K=2 dim=2)
+    "gmm_reddit_infer": 0.127434,
+    "edgeconv_modelnet_train": 17.39,  # edgeconv_result.csv:2
     "edgeconv_modelnet_infer": 1.895,
 }
+
+# reddit-sized configs whose reference seconds scale with BENCH_SCALE
+_SCALED = {"gat_reddit_train", "gat_reddit_infer", "gat_reddit_h1_train",
+           "gat_reddit_h1_infer", "gmm_reddit_train", "gmm_reddit_infer"}
 
 
 def log(msg):
@@ -153,7 +167,8 @@ def _node_pseudo(graph):
     return NodePseudo(src=rsq, dst=rsq)
 
 
-def bench_gat(dataset, scale, epochs, infer=False):
+def bench_gat(dataset, scale, epochs, infer=False, heads=4,
+              gather_dtype=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -163,8 +178,8 @@ def bench_gat(dataset, scale, epochs, infer=False):
 
     graph, feat, labels, ncls = _citation_graph(dataset, scale)
     graph = graph.slim()  # bins only on device
-    model = GAT(num_layers=1, n_hidden=64, n_classes=ncls, heads=(4, 1),
-                feat_drop=0.5, attn_drop=0.0)
+    model = GAT(num_layers=1, n_hidden=64, n_classes=ncls, heads=(heads, 1),
+                feat_drop=0.5, attn_drop=0.0, gather_dtype=gather_dtype)
     key = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(key, graph, feat)
     tx = optax.chain(optax.add_decayed_weights(5e-4), optax.adam(1e-3))
@@ -201,7 +216,7 @@ def bench_gat(dataset, scale, epochs, infer=False):
     return dt
 
 
-def bench_gmm(dataset, scale, epochs, n_kernels):
+def bench_gmm(dataset, scale, epochs, n_kernels, infer=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -221,6 +236,15 @@ def bench_gmm(dataset, scale, epochs, n_kernels):
     opt_state = tx.init(params)
 
     consts = (graph, feat, labels, pseudo)
+    if infer:
+        def infer_step(c, _k, cs):
+            graph, feat, _, pseudo = cs
+            return model.apply(params, graph, feat + c * 1e-30, pseudo)[0, 0]
+
+        dt, _ = time_epoch_loop(infer_step, jnp.float32(0), key, epochs,
+                                warmup=2, consts=consts,
+                                max_wall=MEASURE_WALL)
+        return dt
 
     def train_step(carry, sub, cs):
         graph, feat, labels, pseudo = cs
@@ -336,33 +360,61 @@ def bench_edgeconv(infer=False):
 
 
 # Config groups: one subprocess per GROUP (isolation against OOM poisoning)
-# but grouped configs share one process — the two reddit configs share one
-# ~3 GB graph-cache load, the two edgeconv ones share data gen.  Cheap
-# configs run first so a wall-budget cutoff loses the least signal.
+# but grouped configs share one process — per-dataset groups share one graph
+# build/memoized load (the reddit groups share one ~3 GB cache load), the
+# two edgeconv ones share data gen.  Cheap configs run first so a
+# wall-budget cutoff loses the least signal.
 GROUPS = [
-    ["gat_cora_train"],
-    ["gat_cora_infer"],
-    ["gat_citeseer_train"],
-    ["gmm_cora_train"],
-    ["gat_pubmed_train"],
-    ["gmm_pubmed_train"],
+    ["gat_cora_train", "gat_cora_infer"],
+    ["gat_citeseer_train", "gat_citeseer_infer"],
+    ["gmm_cora_train", "gmm_cora_infer"],
+    ["gmm_citeseer_train", "gmm_citeseer_infer"],
+    ["gat_pubmed_train", "gat_pubmed_infer"],
+    ["gmm_pubmed_train", "gmm_pubmed_infer"],
     ["edgeconv_modelnet_infer"],
     ["edgeconv_modelnet_train"],
-    ["gat_reddit_train", "gmm_reddit_train"],
+    ["gat_reddit_train", "gat_reddit_infer", "gmm_reddit_train",
+     "gmm_reddit_infer"],
+    ["gat_reddit_h1_train", "gat_reddit_h1_infer"],
 ]
 
 
 def _runners(scale, epochs):
+    # reddit GAT runs gather_dtype=bfloat16: gradient-parity-tested
+    # (tests/test_cache_and_misc.py) and halves the gathered-row bytes —
+    # dgNN's reddit peak is 8283MB (gat_result.csv:10), ours must beat it.
     return {
         "gat_cora_train": lambda: bench_gat("cora", 1.0, epochs * 10),
         "gat_cora_infer": lambda: bench_gat("cora", 1.0, epochs * 10,
                                             infer=True),
         "gat_pubmed_train": lambda: bench_gat("pubmed", 1.0, epochs * 5),
+        "gat_pubmed_infer": lambda: bench_gat("pubmed", 1.0, epochs * 5,
+                                              infer=True),
         "gat_citeseer_train": lambda: bench_gat("citeseer", 1.0, epochs * 10),
-        "gat_reddit_train": lambda: bench_gat("reddit", scale, 2),
+        "gat_citeseer_infer": lambda: bench_gat("citeseer", 1.0, epochs * 10,
+                                                infer=True),
+        "gat_reddit_train": lambda: bench_gat("reddit", scale, 2,
+                                              gather_dtype="bfloat16"),
+        "gat_reddit_infer": lambda: bench_gat("reddit", scale, 2, infer=True,
+                                              gather_dtype="bfloat16"),
+        "gat_reddit_h1_train": lambda: bench_gat("reddit", scale, 2, heads=1,
+                                                 gather_dtype="bfloat16"),
+        "gat_reddit_h1_infer": lambda: bench_gat("reddit", scale, 2,
+                                                 infer=True, heads=1,
+                                                 gather_dtype="bfloat16"),
         "gmm_cora_train": lambda: bench_gmm("cora", 1.0, epochs * 10, 3),
+        "gmm_cora_infer": lambda: bench_gmm("cora", 1.0, epochs * 10, 3,
+                                            infer=True),
         "gmm_pubmed_train": lambda: bench_gmm("pubmed", 1.0, epochs * 5, 3),
+        "gmm_pubmed_infer": lambda: bench_gmm("pubmed", 1.0, epochs * 5, 3,
+                                              infer=True),
+        "gmm_citeseer_train": lambda: bench_gmm("citeseer", 1.0,
+                                                epochs * 10, 3),
+        "gmm_citeseer_infer": lambda: bench_gmm("citeseer", 1.0, epochs * 10,
+                                                3, infer=True),
         "gmm_reddit_train": lambda: bench_gmm("reddit", scale, 2, 2),
+        "gmm_reddit_infer": lambda: bench_gmm("reddit", scale, 2, 2,
+                                              infer=True),
         "edgeconv_modelnet_train": lambda: bench_edgeconv(),
         "edgeconv_modelnet_infer": lambda: bench_edgeconv(infer=True),
     }

@@ -45,7 +45,13 @@ def auto_widths(deg, max_bins: int = 8, candidates=_WIDTH_CANDIDATES,
     distribution (gathers are rate-bound per SLOT on TPU, so padding is
     directly wasted time).  Cost model per bin: each slot is one rate-bound
     gathered row, each SEGMENT one resident-row fetch (splitting is not
-    free), plus ``bin_penalty`` slots of fixed op overhead per extra bin.
+    free), plus ``bin_penalty`` slots of fixed op overhead per extra bin,
+    plus the MERGE cost of the top width: segment partials combine through
+    an [N, Km] gather (combine_tables), so every unit of Km — set by the
+    ~99.9th-percentile segments-per-row under the top width — costs N
+    rate-bound rows per pass.  (Measured: widths (4, 16) beat (4,) on cora
+    1.6x despite 1.7x the slots, because w=4 split its mega-rows into an
+    8-wide combine — scripts/exp_small_infer.py.)
 
     Constraint: the largest width must satisfy ceil(dmax/wmax) <=
     ``max_segs_per_row`` — segments-per-row bounds the [N, K] combine-table
@@ -55,6 +61,7 @@ def auto_widths(deg, max_bins: int = 8, candidates=_WIDTH_CANDIDATES,
     import itertools
 
     deg = np.asarray(deg)
+    n_all = int(deg.size)  # the combine table covers every row
     deg = deg[deg > 0]
     if deg.size == 0:
         return (candidates[0],)
@@ -81,6 +88,20 @@ def auto_widths(deg, max_bins: int = 8, candidates=_WIDTH_CANDIDATES,
             return 0
         nseg = int(np.sum(-(-rows // w)))
         return nseg * (w + 1)
+
+    # merge cost of top width j: N * Km, Km = the capped combine width
+    # (smallest c whose over-c rows fit the combine_tables overflow list)
+    max_ov = max(64, n_all // 1000)
+    merge_cost = np.empty(nc, np.int64)
+    for j in range(nc):
+        km = -(-dmax // cands[j])
+        for c in range(1, km):
+            over = deg.size - np.searchsorted(sorted_deg, c * cands[j],
+                                              side="right")
+            if over <= max_ov:
+                km = c
+                break
+        merge_cost[j] = n_all * km
 
     # interval DP over increasing inner widths: dp[j][r] = min cost of r
     # inner bins whose largest is cands[j] (covering all deg <= cands[j])
@@ -111,14 +132,15 @@ def auto_widths(deg, max_bins: int = 8, candidates=_WIDTH_CANDIDATES,
         if -(-dmax // cands[j]) > max_segs_per_row:
             continue
         # top bin alone
-        c = top_cost(-1, j)
+        c = top_cost(-1, j) + merge_cost[j]
         if best_cost is None or c < best_cost:
             best, best_cost = [j], c
         for i in range(j):  # inner bins end at cands[i]
             for r in range(1, max_r + 1):
                 if dp[i][r] >= INF:
                     continue
-                c = dp[i][r] + top_cost(i, j) + r * bin_penalty
+                c = (dp[i][r] + top_cost(i, j) + r * bin_penalty
+                     + merge_cost[j])
                 if c < best_cost:
                     # reconstruct inner chain
                     chain, jj, rr = [], i, r

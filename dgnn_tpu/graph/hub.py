@@ -53,8 +53,11 @@ GATHER_ROWS_PER_S = 45e6
 # Estimated padding overhead of the binned path on residual edges.
 SPARSE_PAD = 1.25
 # A dense block must save at least this much per pass to pay for its op
-# dispatch + combine-table slot (small graphs decline).
-MIN_SAVE_S = 300e-6
+# dispatch + combine-table slot.  Measured floor of the whole fused op on a
+# tiny graph is ~13us (scripts/exp_overhead.py); 50us measured strictly
+# better than 300us on cora (fullfwd 434us vs 593us, exp_small_dense.py) —
+# round-3's 300us was a stale guess that kept small graphs off the MXU.
+MIN_SAVE_S = 50e-6
 
 
 @dataclasses.dataclass(frozen=True)

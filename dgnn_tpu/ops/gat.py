@@ -103,12 +103,26 @@ def _concat_rows(*parts):
 # ---------------------------------------------------------------------------
 
 
+import os as _os
+
+# Escape hatch: force the per-bin passes onto the XLA formulation (debug /
+# A-B measurement); the fused Pallas bin kernels are the default for bins
+# narrow enough to unroll (pallas_bins.PALLAS_MAX_W).
+_NO_PALLAS_BINS = _os.environ.get("DGNN_TPU_NO_PALLAS_BINS") == "1"
+
+
 def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
-                 seed, training, with_pos=True, gid=None):
+                 seed, training, with_pos=True, gid=None, bound=None):
     """Per-bin streaming pass: per-segment (max, sumexp, weighted acc) plus —
     when ``with_pos`` (training) — the sign-split partials (sum-exp and
     weighted acc restricted to edges with score >= 0) that make softmax
     backward's per-destination half node-local (see module docstring).
+
+    Two implementations with identical outputs up to the softmax stat m:
+    the fused Pallas kernel (pallas_bins.bin_gat_fwd; gather stays in XLA at
+    the rate-bound row rate, everything after it is one VMEM-resident pass
+    with m = the precomputed row bound) for widths <= PALLAS_MAX_W, and the
+    XLA formulation (exact per-segment maxima) for wide bins.
 
     ``gid`` (optional [num_src_ids] int32): translation from the adjacency's
     id space to GLOBAL node ids for the dropout hash — graph shards index
@@ -118,6 +132,33 @@ def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
     H = ar.shape[-1]
     F = feat.shape[-1]
     chunk = chunk_rows_for_budget(width, H * F + H)
+
+    from .pallas_bins import PALLAS_MAX_W, bin_gat_fwd
+
+    if width <= PALLAS_MAX_W and bound is not None and not _NO_PALLAS_BINS:
+        arb_tbl = jnp.concatenate([ar, bound], axis=1)  # [N, 2H]
+
+        def fn(nbr_c, row_c, count_c):
+            g_t = xcat[nbr_c.T]  # [W, Sc, HF+H] — the ONE edge-sized gather
+            drop = None
+            if training and p > 0:
+                rid = row_c if gid is None else gid[row_c]
+                cid_t = nbr_c.T if gid is None else gid[nbr_c.T]
+                drop = (p, seed, rid, cid_t)
+            m, l, lp, acc, accp = bin_gat_fwd(
+                g_t, arb_tbl[row_c], count_c, H=H, F=F, slope=slope,
+                with_pos=with_pos, drop=drop, interpret=_interpret())
+            acc = acc.reshape(-1, H, F)
+            if not with_pos:
+                return (m, l, acc), ()
+            return (m, l, lp, acc, accp.reshape(-1, H, F)), ()
+
+        outs, _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0], chunk,
+                               ())
+        if not with_pos:
+            m, l, acc = outs
+            return m, l, None, acc, None
+        return outs
 
     def fn(nbr_c, row_c, count_c):
         mask = lane_mask(count_c, width)  # [S, W]
@@ -192,12 +233,17 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
                  with_pos=True, dense_dtype="bfloat16", gid=None):
     n = adj.num_rows
     xcat = _concat_rows(feat, ac)
+    # exact per-row score bound for the fused bin kernels (see
+    # pallas_bins module docstring): leaky(ar_r + max over ALL source ac)
+    sb = ar + jnp.max(ac, axis=0)[None, :]
+    bound = jnp.maximum(sb, sb * slope)
     ms, ls, lps, accs, accps, rows = [], [], [], [], [], []
     for width, nbr, edge, row, count in adj.bins():
         m, l, lpos, acc, accpos = _forward_bin(width, nbr, row, count,
                                                ar, ac, feat, xcat, slope, p,
                                                seed, training,
-                                               with_pos=with_pos, gid=gid)
+                                               with_pos=with_pos, gid=gid,
+                                               bound=bound)
         ms.append(m)
         ls.append(l)
         lps.append(lpos)
@@ -271,6 +317,27 @@ def _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L, ws, feat, zcat,
     F = g_out.shape[-1]
     chunk = chunk_rows_for_budget(width, 2 * (H * F + 4 * H))
     HF = H * F
+
+    from .pallas_bins import PALLAS_MAX_W, bin_gat_bwd
+
+    if width <= PALLAS_MAX_W and not _NO_PALLAS_BINS:
+        xf = feat.reshape(-1, HF)
+
+        def fn(nbr_c, row_c, count_c):
+            z_t = zcat[nbr_c.T]  # [W, Sc, HF+4H] — the ONE edge-sized gather
+            drop = None
+            if training and p > 0:
+                sid = row_c if gid is None else gid[row_c]
+                did_t = nbr_c.T if gid is None else gid[nbr_c.T]
+                drop = (p, seed, sid, did_t)
+            dx_p, dac_p = bin_gat_bwd(
+                z_t, ac[row_c], xf[row_c], count_c, H=H, slope=slope,
+                drop=drop, interpret=_interpret())
+            return (dx_p.reshape(-1, H, F), dac_p), ()
+
+        (dx_p, dac_p), _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0],
+                                        chunk, ())
+        return dx_p, dac_p
 
     def fn(nbr_c, row_c, count_c):
         mask = lane_mask(count_c, width)

@@ -386,6 +386,11 @@ def _interp():
     return jax.default_backend() != "tpu"
 
 
+def _no_pallas_bins():
+    import os
+    return os.environ.get("DGNN_TPU_NO_PALLAS_BINS") == "1"
+
+
 def _dense_dt(name):
     return jnp.float32 if name == "float32" else jnp.bfloat16
 
@@ -399,9 +404,25 @@ def _node_fwd(adj: BinnedAdj, alpha, beta, feat, mu, isig, use_tanh,
     KF = K * F
     xcat = jnp.concatenate([feat.reshape(-1, KF),
                             alpha.astype(feat.dtype)], axis=1)
+    from .pallas_bins import PALLAS_MAX_W, bin_gmm_node_fwd
+
     accs, rows = [], []
     for width, nbr, edge, row, count in adj.bins():
         chunk = chunk_rows_for_budget(width, KF + D)
+
+        if width <= PALLAS_MAX_W and not _no_pallas_bins():
+            def fn(nbr_c, row_c, count_c):
+                g_t = xcat[nbr_c.T]  # [W, Sc, KF+D] — the ONE gather
+                acc = bin_gmm_node_fwd(g_t, beta[row_c], count_c, mu, isig,
+                                       K=K, D=D, use_tanh=use_tanh,
+                                       interpret=_interp())
+                return (acc.reshape(-1, K, F),), ()
+
+            (acc,), _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0],
+                                     chunk, ())
+            accs.append(acc)
+            rows.append(row)
+            continue
 
         def fn(nbr_c, row_c, count_c):
             mask = lane_mask(count_c, width)
@@ -456,9 +477,42 @@ def _node_bwd(adj_bwd: BinnedAdj, alpha, beta, sfeat, dfeat, feat, mu, isig,
              jnp.zeros((sfeat.shape[-1], D), jnp.float32),
              jnp.zeros((Dd, D), jnp.float32))
     d_mu, d_isig, d_pb, d_pws, d_pwd = zeros
+    from .pallas_bins import PALLAS_MAX_W, bin_gmm_node_bwd
+
+    KD = K * D
+    Ds = sfeat.shape[-1]
+    xf = feat.reshape(-1, KF)
     dxs, rows = [], []
     for (width, nbr, edge, row, count) in adj_bwd.bins():
         chunk = chunk_rows_for_budget(width, 2 * (KF + D + Dd))
+
+        if width <= PALLAS_MAX_W and not _no_pallas_bins():
+            def fn(nbr_c, row_c, count_c):
+                z_t = zcat[nbr_c.T]  # [W, Sc, KF+D+Dd] — the ONE gather
+                dx_p, st = bin_gmm_node_bwd(
+                    z_t, alpha[row_c], xf[row_c],
+                    sfeat[row_c].astype(jnp.float32), count_c, mu, isig,
+                    K=K, D=D, Dd=Dd, use_tanh=use_tanh, interpret=_interp())
+                # stat layout: pallas_bins._bin_gmm_bwd_kernel docstring
+                dmu_p = st[:, :KD].sum(0).reshape(K, D) * isig
+                disg_p = -st[:, KD:2 * KD].sum(0).reshape(K, D)
+                dpb_p = st[:, 2 * KD:2 * KD + D].sum(0)
+                o = 2 * KD + D
+                dpwd_p = st[:, o:o + D * Dd].sum(0).reshape(D, Dd).T
+                dpws_p = st[:, o + D * Dd:].sum(0).reshape(D, Ds).T
+                return (dx_p.reshape(-1, K, F),), (dmu_p, disg_p, dpb_p,
+                                                   dpws_p, dpwd_p)
+
+            (dx_p,), upd = scan_chunked(fn, (nbr, row, count), nbr.shape[0],
+                                        chunk, zeros)
+            d_mu = d_mu + upd[0]
+            d_isig = d_isig + upd[1]
+            d_pb = d_pb + upd[2]
+            d_pws = d_pws + upd[3]
+            d_pwd = d_pwd + upd[4]
+            dxs.append(dx_p)
+            rows.append(row)
+            continue
 
         def fn(nbr_c, row_c, count_c):
             mask = lane_mask(count_c, width)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..graph.structure import BinnedAdj
 from ..models.gat import xavier_normal
 from ..ops.gat import _gat_fused
-from ..ops.gmm import _gmm2
+from ..ops.gmm import NodePseudo, _gmm2, _gmm_node
 from .partition import GraphShards
 
 __all__ = ["local_view", "halo_exchange", "merge_binned", "shard_edge_data",
@@ -82,7 +82,14 @@ def _psum_grad_fwd(x, axis_name):
 
 
 def _psum_grad_bwd(axis_name, _, g):
-    return (jax.lax.psum(g, axis_name),)
+    # Under check_vma=True the cotangent carries vma={axis}: shard_map will
+    # NOT reduce it for a replicated input unless we psum here (making it
+    # replicated).  Under check_vma=False vma tracking is off (vma == {})
+    # and shard_map's transpose ALWAYS psums replicated-input cotangents —
+    # psumming here too would multiply the gradient by the axis size.
+    if axis_name in jax.typeof(g).vma:
+        return (jax.lax.psum(g, axis_name),)
+    return (g,)
 
 
 psum_grad.defvjp(_psum_grad_fwd, _psum_grad_bwd)
@@ -170,10 +177,18 @@ class ShardedGMMConv(nn.Module):
     """GMMConv over one graph shard (run under shard_map).
 
     Same communication shape as ShardedGATConv: local dense projection, ONE
-    all_to_all of boundary feature rows, fused Gaussian-weighted aggregation
-    over merged local+halo bins.  Pseudo tables come pre-resharded
-    (shard_edge_data) and stream — no per-edge exchange is ever needed
-    because edge data is owned by the destination shard.
+    all_to_all of boundary rows, fused Gaussian-weighted aggregation over
+    merged local+halo bins.  Two pseudo modes, mirroring models.GMMConv:
+
+    - ``NodePseudo``: node-derived pseudo coordinates (the reference's
+      citation protocol).  The source-side scalars ride the halo payload
+      with the features (like attn_col in ShardedGATConv) so the projected
+      alpha/beta are derivable per shard, which keeps the edge weight
+      separable — this mode runs the full dense-hub MXU path + combine
+      tables (ops/gmm.gmm_aggregate_node).
+    - pseudo tables from ``shard_edge_data``: per-edge pseudo streams with
+      the bins; no per-edge exchange is ever needed because edge data is
+      owned by the destination shard (no dense kernel in this mode).
     """
 
     out_feats: int
@@ -181,36 +196,63 @@ class ShardedGMMConv(nn.Module):
     n_kernels: int
     axis_name: str = "graph"
     use_bias: bool = True
+    dense_dtype: str = "bfloat16"  # MXU input dtype of the dense hub block
 
     @nn.compact
-    def __call__(self, local: GraphShards, feat, pseudo_tables, *,
+    def __call__(self, local: GraphShards, feat, pseudo, *,
                  training: bool = False):
         k = self.n_kernels
         f = self.out_feats
         node_feat = nn.Dense(k * f, use_bias=False, kernel_init=xavier_normal(),
                              name="fc")(feat)
-        feat_ext = halo_exchange(node_feat, local.send_ids,
-                                 self.axis_name).reshape(-1, k, f)
         mu = self.param("mu", nn.initializers.normal(0.1), (k, self.dim))
         inv_sigma = self.param("inv_sigma", nn.initializers.ones,
                                (k, self.dim))
-        pf_l, pf_h, pb = pseudo_tables
-        din = pf_l[0].shape[-1]
-        pw = self.param("pseudo_w", nn.initializers.lecun_normal(),
-                        (din, self.dim))
-        pbias = self.param("pseudo_b", nn.initializers.zeros, (self.dim,))
-        # per-edge-pseudo GMM has no dense-hub kernel, so the combine tables
-        # apply only when the shards were partitioned with dense=None (a
-        # dense-built cmb indexes dense partials _gmm2 never produces)
-        fcmb = local.fwd_cmb if local.fwd_dense is None else None
-        bcmb = local.bwd_cmb if local.bwd_dense is None else None
-        adj_fwd = merge_binned(local.fwd_local, local.fwd_halo, cmb=fcmb)
-        adj_bwd = dataclasses.replace(local.bwd, cmb=bcmb, dense=None)
-        # _gmm2's backward emits shard-local partials for these params
-        pw, pbias, mu, inv_sigma = (psum_grad(v, self.axis_name)
-                                    for v in (pw, pbias, mu, inv_sigma))
-        rst = _gmm2(True, adj_fwd, adj_bwd, pf_l + pf_h, pb, feat_ext, pw,
-                    pbias, mu, inv_sigma)
+        if isinstance(pseudo, NodePseudo):
+            # node-pseudo mode: pseudo.src/[C, Ds] and pseudo.dst [C, Dd] are
+            # shard-local per-node scalars; source scalars join the halo
+            # payload so every extended source row carries its own.
+            ds = pseudo.src.shape[-1]
+            pw = self.param("pseudo_w", nn.initializers.lecun_normal(),
+                            (ds + pseudo.dst.shape[-1], self.dim))
+            pbias = self.param("pseudo_b", nn.initializers.zeros, (self.dim,))
+            payload = jnp.concatenate(
+                [node_feat, pseudo.src.astype(node_feat.dtype)], axis=-1)
+            ext = halo_exchange(payload, local.send_ids, self.axis_name)
+            feat_ext = ext[:, : k * f].reshape(-1, k, f)
+            sfeat_ext = ext[:, k * f:].astype(jnp.float32)
+            adj_fwd = merge_binned(local.fwd_local, local.fwd_halo,
+                                   cmb=local.fwd_cmb, dense=local.fwd_dense)
+            adj_bwd = dataclasses.replace(local.bwd, cmb=local.bwd_cmb,
+                                          dense=local.bwd_dense)
+            # _gmm_node's backward emits shard-local partials for these
+            pw, pbias, mu, inv_sigma = (psum_grad(v, self.axis_name)
+                                        for v in (pw, pbias, mu, inv_sigma))
+            rst = _gmm_node(True, self.dense_dtype, adj_fwd, adj_bwd,
+                            sfeat_ext, pseudo.dst.astype(jnp.float32),
+                            feat_ext, pw[:ds], pw[ds:], pbias, mu, inv_sigma)
+        else:
+            feat_ext = halo_exchange(node_feat, local.send_ids,
+                                     self.axis_name).reshape(-1, k, f)
+            pf_l, pf_h, pb = pseudo
+            din = pf_l[0].shape[-1]
+            pw = self.param("pseudo_w", nn.initializers.lecun_normal(),
+                            (din, self.dim))
+            pbias = self.param("pseudo_b", nn.initializers.zeros,
+                               (self.dim,))
+            # per-edge-pseudo GMM has no dense-hub kernel, so the combine
+            # tables apply only when the shards were partitioned with
+            # dense=None (a dense-built cmb indexes dense partials _gmm2
+            # never produces)
+            fcmb = local.fwd_cmb if local.fwd_dense is None else None
+            bcmb = local.bwd_cmb if local.bwd_dense is None else None
+            adj_fwd = merge_binned(local.fwd_local, local.fwd_halo, cmb=fcmb)
+            adj_bwd = dataclasses.replace(local.bwd, cmb=bcmb, dense=None)
+            # _gmm2's backward emits shard-local partials for these params
+            pw, pbias, mu, inv_sigma = (psum_grad(v, self.axis_name)
+                                        for v in (pw, pbias, mu, inv_sigma))
+            rst = _gmm2(True, adj_fwd, adj_bwd, pf_l + pf_h, pb, feat_ext,
+                        pw, pbias, mu, inv_sigma)
         rst = jnp.sum(rst, axis=1)
         if self.use_bias:
             rst = rst + self.param("bias", nn.initializers.zeros, (f,))
@@ -227,9 +269,10 @@ class ShardedMoNet(nn.Module):
     n_kernels: int
     axis_name: str = "graph"
     dropout: float = 0.5
+    dense_dtype: str = "bfloat16"
 
     @nn.compact
-    def __call__(self, local: GraphShards, feat, pseudo_tables, *,
+    def __call__(self, local: GraphShards, feat, pseudo, *,
                  training: bool = False):
         dims = [self.n_hidden] * self.n_layers + [self.out_feats]
         h = feat
@@ -239,7 +282,8 @@ class ShardedMoNet(nn.Module):
             h = ShardedGMMConv(out_feats=out, dim=self.dim,
                                n_kernels=self.n_kernels,
                                axis_name=self.axis_name,
-                               name=f"gmm_{i}")(local, h, pseudo_tables,
+                               dense_dtype=self.dense_dtype,
+                               name=f"gmm_{i}")(local, h, pseudo,
                                                 training=training)
         return h
 

@@ -43,9 +43,11 @@ def test_sharded_forward_matches_single(rng, num_shards):
     def per_shard(params, shards, x):
         return model.apply(params, local_view(shards), x)
 
+    # check_vma=False: pallas interpret mode rejects vma checking (see
+    # __graft_entry__.py — the bin kernels run in every sharded pass now)
     fwd = shard_map(per_shard, mesh=mesh,
                     in_specs=(P(), P("graph"), P("graph")),
-                    out_specs=P("graph"))
+                    out_specs=P("graph"), check_vma=False)
     out = jax.jit(fwd)(params, shards, jnp.asarray(feat_pad))
     ref = ref_model.apply(params, g, jnp.asarray(feat))
     np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
@@ -78,7 +80,7 @@ def test_sharded_grads_match_single(rng):
 
     fwd = shard_map(per_shard_logits, mesh=mesh,
                     in_specs=(P(), P("graph"), P("graph")),
-                    out_specs=P("graph"))
+                    out_specs=P("graph"), check_vma=False)
 
     def loss_sharded(params):
         logits = fwd(params, shards, jnp.asarray(feat_pad))
@@ -236,6 +238,79 @@ def test_sharded_monet_matches_single(rng):
     gr = jax.grad(loss_ref)(params)
     for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gr)):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_monet_node_pseudo_matches_single(rng):
+    """Node-pseudo sharded MoNet (source scalars ride the halo payload;
+    per-shard dense hub + combine tables) vs the single-device
+    gmm_aggregate_node path: forward and gradients."""
+    from dgnn_tpu.models import MoNet
+    from dgnn_tpu.ops.gmm import NodePseudo
+    from dgnn_tpu.parallel import ShardedMoNet
+
+    n, k, dim, num_shards = 48, 2, 2, 4
+    src, dst = random_graph(rng, n, 6, power_law=True)
+    mesh = _mesh(num_shards)
+    shards = partition_graph(src, dst, n, num_shards, widths=(4, 16),
+                             dense=(8, 24))
+    assert shards.fwd_dense is not None and shards.bwd_dense is not None
+    g = build_graph(src, dst, n, widths=(4, 16))
+    n_pad = shards.padded_nodes
+
+    feat = rng.normal(size=(n, 10)).astype(np.float32)
+    feat_pad = np.zeros((n_pad, 10), np.float32)
+    feat_pad[:n] = feat
+    psrc = rng.normal(size=(n, 1)).astype(np.float32)
+    pdst = rng.normal(size=(n, 1)).astype(np.float32)
+    psrc_pad = np.zeros((n_pad, 1), np.float32)
+    psrc_pad[:n] = psrc
+    pdst_pad = np.zeros((n_pad, 1), np.float32)
+    pdst_pad[:n] = pdst
+    mask_pad = np.zeros(n_pad, np.float32)
+    mask_pad[:n] = 1.0
+
+    model = ShardedMoNet(n_hidden=4, out_feats=3, n_layers=1, dim=dim,
+                         n_kernels=k, dropout=0.0, dense_dtype="float32")
+    ref_model = MoNet(n_hidden=4, out_feats=3, n_layers=1, dim=dim,
+                      n_kernels=k, dropout=0.0)
+    np_single = NodePseudo(src=jnp.asarray(psrc), dst=jnp.asarray(pdst))
+    params = ref_model.init(jax.random.PRNGKey(2), g, jnp.asarray(feat),
+                            np_single)
+
+    def per_shard(params, shards, ps, pd, x):
+        return model.apply(params, local_view(shards), x,
+                           NodePseudo(src=ps, dst=pd))
+
+    # check_vma=False: interpret-mode pallas scalar-prefetch index maps
+    # reject vma checking (see __graft_entry__.py)
+    fwd = shard_map(per_shard, mesh=mesh,
+                    in_specs=(P(), P("graph"), P("graph"), P("graph"),
+                              P("graph")),
+                    out_specs=P("graph"), check_vma=False)
+    out = jax.jit(fwd)(params, shards, jnp.asarray(psrc_pad),
+                       jnp.asarray(pdst_pad), jnp.asarray(feat_pad))
+    ref = ref_model.apply(params, g, jnp.asarray(feat), np_single)
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss_sharded(params):
+        o = fwd(params, shards, jnp.asarray(psrc_pad), jnp.asarray(pdst_pad),
+                jnp.asarray(feat_pad))
+        return jnp.sum(jnp.sin(o) * jnp.asarray(mask_pad)[:, None])
+
+    def loss_ref(params):
+        return jnp.sum(jnp.sin(ref_model.apply(params, g, jnp.asarray(feat),
+                                               np_single)))
+
+    gs = jax.jit(jax.grad(loss_sharded))(params)
+    gr = jax.grad(loss_ref)(params)
+    flat_s = jax.tree_util.tree_leaves_with_path(gs)
+    flat_r = {jax.tree_util.keystr(kk): v
+              for kk, v in jax.tree_util.tree_leaves_with_path(gr)}
+    for kk, v in flat_s:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(kk)]),
+            rtol=2e-3, atol=2e-4, err_msg=jax.tree_util.keystr(kk))
 
 
 def test_dgcnn_data_parallel_matches_single(rng):
