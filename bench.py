@@ -123,8 +123,9 @@ def _citation_graph_uncached(name, scale=1.0):
         n_full, e_full, din, ncls = CITATION_SHAPES["reddit"]
         n, e = int(n_full * scale), int(e_full * scale)
         os.makedirs(CACHE_DIR, exist_ok=True)
-        # cache key: binning/dense-format version
-        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_d5.npz")
+        # cache key: binning/dense-format version (d6: merge-aware
+        # auto_widths + epos slot table)
+        path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_d6.npz")
         if os.path.exists(path):
             g = gcache.load_graph(path)
         else:

@@ -31,6 +31,8 @@ def _pack_binned(prefix: str, adj: BinnedAdj, store: dict, meta: dict):
         store[f"{prefix}_cmb"] = np.asarray(adj.cmb.main)
         store[f"{prefix}_cmb_ov_rows"] = np.asarray(adj.cmb.ov_rows)
         store[f"{prefix}_cmb_ov"] = np.asarray(adj.cmb.ov)
+    if adj.epos is not None:
+        store[f"{prefix}_epos"] = np.asarray(adj.epos)
     if adj.dense is not None:
         d = adj.dense
         store[f"{prefix}_dense_row_ids"] = np.asarray(d.row_ids)
@@ -67,6 +69,8 @@ def _unpack_binned(prefix: str, z, meta: dict) -> BinnedAdj:
                           ov=jnp.asarray(z[f"{prefix}_cmb_ov"]))
              if f"{prefix}_cmb" in z.files else None),
         dense=dense,
+        epos=(jnp.asarray(z[f"{prefix}_epos"])
+              if f"{prefix}_epos" in z.files else None),
         widths=tuple(m["widths"]),
         num_rows=m["num_rows"],
         num_edges=m["num_edges"],

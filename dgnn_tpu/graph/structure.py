@@ -84,6 +84,12 @@ class BinnedAdj:
     count: tuple  # per bin: [S_b] int32
     cmb: object  # [num_rows, K] int32 combine table, or None
     dense: object  # DenseBlock or None (hub rows routed to the MXU path)
+    # [num_edges] int32 slot position of each CSR edge in the concatenated
+    # per-bin [S*W] slot order, or None.  Built with the edge tables; lets
+    # per-edge outputs (sddmm) emit in slot order and land in CSR order via
+    # ONE edge-sized GATHER instead of a segment_sum scatter (the
+    # no-edge-scatter invariant; XLA segment ops run ~100x below rate).
+    epos: object
     widths: tuple = dataclasses.field(metadata=dict(static=True))
     num_rows: int = dataclasses.field(metadata=dict(static=True))
     num_edges: int = dataclasses.field(metadata=dict(static=True))
@@ -104,11 +110,31 @@ def from_binned(b: _binning.BinnedCSR, with_cmb: bool = True,
 
     ``dense`` rows' partials are indexed AFTER every bin's segments in the
     combine table (ops append them in that order).  ``with_edge=False``
-    omits the per-slot global-edge-id tables (only needed by flat per-edge
-    data APIs such as ops.primitives.spmm/sddmm — the fused layers derive
-    everything from (row, nbr) ids)."""
+    omits the per-slot global-edge-id tables AND the inverse slot-position
+    table ``epos`` (only needed by flat per-edge data APIs such as
+    ops.primitives.spmm/sddmm — the fused layers derive everything from
+    (row, nbr) ids)."""
     cmb = None
     dense_dev = None
+    epos = None
+    if with_edge and dense is None:
+        # inverse permutation: CSR edge id -> position in the concatenated
+        # [S*W] slot order (one host-side scatter, once per graph) — lets
+        # sddmm-like ops emit per-slot results and produce CSR edge order
+        # with ONE gather instead of an edge-sized segment_sum.  Dense-built
+        # graphs skip it: hub edges live in mask tiles, not bin slots, so no
+        # complete slot order exists (the flat APIs reject dense graphs).
+        ep = np.full(b.num_edges, 0, np.int64)
+        off = 0
+        for bi in range(len(b.nbr)):
+            e_t = np.asarray(b.edge[bi], np.int64)
+            s, w = e_t.shape
+            m = (np.arange(w)[None, :]
+                 < np.asarray(b.count[bi])[:, None])
+            pos = off + np.arange(s * w, dtype=np.int64).reshape(s, w)
+            ep[e_t[m]] = pos[m]
+            off += s * w
+        epos = jnp.asarray(ep, jnp.int32)
     if dense is not None:
         rc_h, ct_h, first_h, mt_h = dense.half_schedule()
         dense_dev = DenseBlock(row_ids=jnp.asarray(dense.row_ids),
@@ -143,6 +169,7 @@ def from_binned(b: _binning.BinnedCSR, with_cmb: bool = True,
         count=tuple(jnp.asarray(x) for x in b.count),
         cmb=cmb,
         dense=dense_dev,
+        epos=epos,
         widths=b.widths,
         num_rows=b.num_rows,
         num_edges=b.num_edges,

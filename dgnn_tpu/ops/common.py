@@ -224,8 +224,15 @@ def _merge_lse(tbl, zcat, H, widths):
     for w in widths:
         blk = g[..., off:off + w]
         off += w
-        s = scale if w == H else jnp.repeat(scale, w // H, axis=-1)
-        outs.append(jnp.sum(blk * s, axis=1))
+        if w == H:
+            outs.append(jnp.sum(blk * scale, axis=1))
+        else:
+            # broadcast the [R, K, H] scale over each head's F-block via a
+            # reshape instead of jnp.repeat (repeat materializes an
+            # acc-sized scale array — pure HBM waste)
+            b4 = blk.reshape(blk.shape[0], blk.shape[1], H, w // H)
+            outs.append(jnp.sum(b4 * scale[..., None], axis=1)
+                        .reshape(blk.shape[0], w))
     return M0, outs
 
 

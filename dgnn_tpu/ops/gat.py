@@ -133,12 +133,16 @@ def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
     F = feat.shape[-1]
     chunk = chunk_rows_for_budget(width, H * F + H)
 
-    from .pallas_bins import PALLAS_MAX_W, bin_gat_fwd
+    from .pallas_bins import PALLAS_MAX_W, bin_gat_fwd, pad_segs, seg_block
 
     if width <= PALLAS_MAX_W and bound is not None and not _NO_PALLAS_BINS:
         arb_tbl = jnp.concatenate([ar, bound], axis=1)  # [N, 2H]
+        itemsize = jnp.dtype(xcat.dtype).itemsize
 
         def fn(nbr_c, row_c, count_c):
+            sb = seg_block(width, H * F + H, itemsize,
+                           num_segs=nbr_c.shape[0])
+            nbr_c, row_c, count_c, s_c = pad_segs(sb, nbr_c, row_c, count_c)
             g_t = xcat[nbr_c.T]  # [W, Sc, HF+H] — the ONE edge-sized gather
             drop = None
             if training and p > 0:
@@ -148,10 +152,11 @@ def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
             m, l, lp, acc, accp = bin_gat_fwd(
                 g_t, arb_tbl[row_c], count_c, H=H, F=F, slope=slope,
                 with_pos=with_pos, drop=drop, interpret=_interpret())
-            acc = acc.reshape(-1, H, F)
+            acc = acc[:s_c].reshape(-1, H, F)
             if not with_pos:
-                return (m, l, acc), ()
-            return (m, l, lp, acc, accp.reshape(-1, H, F)), ()
+                return (m[:s_c], l[:s_c], acc), ()
+            return (m[:s_c], l[:s_c], lp[:s_c], acc,
+                    accp[:s_c].reshape(-1, H, F)), ()
 
         outs, _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0], chunk,
                                ())
@@ -260,7 +265,6 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
         lps.append(lpos)
         accs.append(acc)
         accps.append(accpos)
-    m_all = jnp.concatenate(ms)
     l_all = jnp.concatenate(ls)
     acc_all = jnp.concatenate(accs)
     has_pos = with_pos and not any(x is None for x in lps)
@@ -271,7 +275,18 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
         parts = [l_all, acc_all]
         if has_pos:
             parts += [jnp.concatenate(lps), jnp.concatenate(accps)]
-        M, merged = combine_lse(adj.cmb, m_all, parts)
+        from .pallas_bins import PALLAS_MAX_W
+
+        if (adj.dense is None and not _NO_PALLAS_BINS
+                and all(w <= PALLAS_MAX_W for w in adj.widths)):
+            # every partial came from a bound-emitting bin kernel, so all of
+            # a row's segments share m = bound[row]: the LSE merge
+            # degenerates to a plain sum (scale == 1) with M = bound — no m
+            # column in the merge gather, no per-entry max/exp
+            merged = combine_sum(adj.cmb, parts)
+            M = bound
+        else:
+            M, merged = combine_lse(adj.cmb, jnp.concatenate(ms), parts)
         L = merged[0]
         Linv = 1.0 / jnp.maximum(L, 1e-20)
         out = merged[1] * Linv[..., None]
@@ -280,6 +295,7 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
         r = merged[2] * Linv
         out_pos = merged[3] * Linv[..., None]
         return out, M, L, out_pos, r
+    m_all = jnp.concatenate(ms)
 
     row_all = jnp.concatenate(rows)
     M = jax.ops.segment_max(m_all, row_all, num_segments=n)  # [N, H]
@@ -318,12 +334,16 @@ def _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L, ws, feat, zcat,
     chunk = chunk_rows_for_budget(width, 2 * (H * F + 4 * H))
     HF = H * F
 
-    from .pallas_bins import PALLAS_MAX_W, bin_gat_bwd
+    from .pallas_bins import PALLAS_MAX_W, bin_gat_bwd, pad_segs, seg_block
 
     if width <= PALLAS_MAX_W and not _NO_PALLAS_BINS:
         xf = feat.reshape(-1, HF)
+        itemsize = jnp.dtype(zcat.dtype).itemsize
 
         def fn(nbr_c, row_c, count_c):
+            sb = seg_block(width, HF + 4 * H, itemsize,
+                           num_segs=nbr_c.shape[0])
+            nbr_c, row_c, count_c, s_c = pad_segs(sb, nbr_c, row_c, count_c)
             z_t = zcat[nbr_c.T]  # [W, Sc, HF+4H] — the ONE edge-sized gather
             drop = None
             if training and p > 0:
@@ -333,7 +353,7 @@ def _bwd_csc_bin(width, nbr, row, count, ar, ac, M, L, ws, feat, zcat,
             dx_p, dac_p = bin_gat_bwd(
                 z_t, ac[row_c], xf[row_c], count_c, H=H, slope=slope,
                 drop=drop, interpret=_interpret())
-            return (dx_p.reshape(-1, H, F), dac_p), ()
+            return (dx_p[:s_c].reshape(-1, H, F), dac_p[:s_c]), ()
 
         (dx_p, dac_p), _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0],
                                         chunk, ())

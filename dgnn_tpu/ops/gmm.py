@@ -292,26 +292,29 @@ def _spmm_bins(adj: BinnedAdj, w_flat, feat):
 
 
 def _sddmm_bins(adj: BinnedAdj, grad_out, feat, num_edges):
-    """grad_w[e, k] = <grad_out[row(e), k, :], feat[col(e), k, :]> scattered to
-    flat CSR edge order (reference analogue: mhsddmm, mhsddmm_kernel.cu)."""
+    """grad_w[e, k] = <grad_out[row(e), k, :], feat[col(e), k, :]> in flat
+    CSR edge order: per-slot results emit in concatenated slot order and
+    re-order through the build-time inverse slot table ``adj.epos`` — ONE
+    edge-sized gather, never a segment_sum scatter (reference analogue:
+    mhsddmm, mhsddmm_kernel.cu)."""
+    assert adj.epos is not None, \
+        "flat-pseudo GMM needs a graph built with edge_tables=True"
     K = grad_out.shape[1]
     F = grad_out.shape[-1]
-    gw = jnp.zeros((num_edges, K), jnp.float32)
+    parts = []
     for width, nbr, edge, row, count in adj.bins():
         chunk = chunk_rows_for_budget(width, 2 * K * F)
 
-        def fn(nbr_c, edge_c, row_c, count_c):
+        def fn(nbr_c, row_c, count_c):
             mask = lane_mask(count_c, width)
             g = jnp.einsum("skf,swkf->swk", grad_out[row_c], feat[nbr_c],
                            preferred_element_type=jnp.float32)
-            g = jnp.where(mask[..., None], g, 0.0)
-            upd = _segment_sum(g.reshape(-1, K), edge_c.reshape(-1), num_edges)
-            return (), (upd,)
+            return (jnp.where(mask[..., None], g, 0.0),), ()
 
-        _, (upd,) = scan_chunked(fn, (nbr, edge, row, count), nbr.shape[0],
-                                 chunk, (jnp.zeros((num_edges, K), jnp.float32),))
-        gw = gw + upd
-    return gw
+        (g,), _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0], chunk,
+                               ())
+        parts.append(g.reshape(-1, K))
+    return jnp.concatenate(parts)[adj.epos]
 
 
 @jax.custom_vjp
@@ -404,19 +407,25 @@ def _node_fwd(adj: BinnedAdj, alpha, beta, feat, mu, isig, use_tanh,
     KF = K * F
     xcat = jnp.concatenate([feat.reshape(-1, KF),
                             alpha.astype(feat.dtype)], axis=1)
-    from .pallas_bins import PALLAS_MAX_W, bin_gmm_node_fwd
+    from .pallas_bins import (PALLAS_MAX_W, bin_gmm_node_fwd, pad_segs,
+                              seg_block)
 
+    itemsize = jnp.dtype(xcat.dtype).itemsize
     accs, rows = [], []
     for width, nbr, edge, row, count in adj.bins():
         chunk = chunk_rows_for_budget(width, KF + D)
 
         if width <= PALLAS_MAX_W and not _no_pallas_bins():
-            def fn(nbr_c, row_c, count_c):
+            def fn(nbr_c, row_c, count_c, width=width):
+                sb = seg_block(width, KF + D, itemsize,
+                               num_segs=nbr_c.shape[0])
+                nbr_c, row_c, count_c, s_c = pad_segs(sb, nbr_c, row_c,
+                                                      count_c)
                 g_t = xcat[nbr_c.T]  # [W, Sc, KF+D] — the ONE gather
                 acc = bin_gmm_node_fwd(g_t, beta[row_c], count_c, mu, isig,
                                        K=K, D=D, use_tanh=use_tanh,
                                        interpret=_interp())
-                return (acc.reshape(-1, K, F),), ()
+                return (acc[:s_c].reshape(-1, K, F),), ()
 
             (acc,), _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0],
                                      chunk, ())
@@ -477,23 +486,31 @@ def _node_bwd(adj_bwd: BinnedAdj, alpha, beta, sfeat, dfeat, feat, mu, isig,
              jnp.zeros((sfeat.shape[-1], D), jnp.float32),
              jnp.zeros((Dd, D), jnp.float32))
     d_mu, d_isig, d_pb, d_pws, d_pwd = zeros
-    from .pallas_bins import PALLAS_MAX_W, bin_gmm_node_bwd
+    from .pallas_bins import (PALLAS_MAX_W, bin_gmm_node_bwd, pad_segs,
+                              seg_block)
 
     KD = K * D
     Ds = sfeat.shape[-1]
     xf = feat.reshape(-1, KF)
+    itemsize = jnp.dtype(zcat.dtype).itemsize
     dxs, rows = [], []
     for (width, nbr, edge, row, count) in adj_bwd.bins():
         chunk = chunk_rows_for_budget(width, 2 * (KF + D + Dd))
 
         if width <= PALLAS_MAX_W and not _no_pallas_bins():
-            def fn(nbr_c, row_c, count_c):
+            def fn(nbr_c, row_c, count_c, width=width):
+                sb = seg_block(width, KF + D + Dd, itemsize,
+                               num_segs=nbr_c.shape[0])
+                nbr_c, row_c, count_c, s_c = pad_segs(sb, nbr_c, row_c,
+                                                      count_c)
                 z_t = zcat[nbr_c.T]  # [W, Sc, KF+D+Dd] — the ONE gather
                 dx_p, st = bin_gmm_node_bwd(
                     z_t, alpha[row_c], xf[row_c],
                     sfeat[row_c].astype(jnp.float32), count_c, mu, isig,
                     K=K, D=D, Dd=Dd, use_tanh=use_tanh, interpret=_interp())
                 # stat layout: pallas_bins._bin_gmm_bwd_kernel docstring
+                # (pad segments have count 0 -> zero stats, safe to sum)
+                dx_p = dx_p[:s_c]
                 dmu_p = st[:, :KD].sum(0).reshape(K, D) * isig
                 disg_p = -st[:, KD:2 * KD].sum(0).reshape(K, D)
                 dpb_p = st[:, 2 * KD:2 * KD + D].sum(0)

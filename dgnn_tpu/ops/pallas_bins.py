@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_dense import _PARAMS, _pair_base, _pair_u, _vma_of
 
 __all__ = ["bin_gat_fwd", "bin_gat_bwd", "bin_gmm_node_fwd",
-           "bin_gmm_node_bwd", "PALLAS_MAX_W", "seg_block"]
+           "bin_gmm_node_bwd", "PALLAS_MAX_W", "seg_block", "pad_segs"]
 
 # Bins wider than this stay on the XLA path: the kernels unroll the width
 # statically and a 512-wide unroll explodes Mosaic compile time.  After
@@ -51,18 +51,66 @@ PALLAS_MAX_W = 64
 
 # Target VMEM bytes for one gathered block [W, Sb, C] (double-buffered by
 # the pipeline; the chip has 128MB, _PARAMS raises the scoped limit).
+# Measured: 8MB blocks + dimension_semantics=("parallel",) ran ~15% SLOWER
+# than 4MB default-semantics (and coincided with a TPU worker crash) —
+# keep the smaller, deeper pipeline.
 _BLOCK_BYTES = 4 << 20
 
+_BIN_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-def seg_block(width: int, cols: int, itemsize: int = 4) -> int:
-    """Segments per kernel block so [W, Sb, C] stays under _BLOCK_BYTES."""
+
+def seg_block(width: int, cols: int, itemsize: int = 4,
+              num_segs: int | None = None) -> int:
+    """Segments per kernel block so [W, Sb, C] stays under _BLOCK_BYTES.
+
+    Clamped to the segment count: a block LARGER than the array dim is an
+    out-of-bounds DMA on real hardware (reproducibly crashed the TPU worker
+    on a 1800-segment bin with a 2048 block; a partially-overhanging LAST
+    block is fine — Mosaic masks it)."""
     sb = _BLOCK_BYTES // max(1, width * cols * itemsize)
     sb = max(8, min(int(sb), 2048))
+    if num_segs is not None:
+        sb = min(sb, max(8, -(-int(num_segs) // 8) * 8))
     return (sb // 8) * 8
 
 
 def _grid_pad(s: int, sb: int) -> int:
-    return -(-s // sb)
+    assert s % sb == 0, (
+        f"segment count {s} must be padded to a multiple of the kernel "
+        f"block {sb} (pad_segs) — a ragged last block reads past the array "
+        f"and intermittently faults the TPU depending on buffer layout")
+    return s // sb
+
+
+def pad_segs(sb: int, nbr_c, row_c, count_c):
+    """Pad per-chunk segment arrays to a multiple of the kernel block.
+
+    Padding rows point at node 0 with count 0 (all-invalid -> zero
+    partials); callers slice kernel outputs back to the original count.
+    This moves the ragged-tail handling BEFORE the gather: the padded tail
+    gathers a few valid rows instead of the kernel DMA-ing past the end of
+    the gathered buffer (observed as nondeterministic TPU worker crashes —
+    out-of-bounds reads only fault when the overhang leaves the
+    allocation)."""
+    s = nbr_c.shape[0]
+    pad = (-s) % sb
+    if pad:
+        nbr_c = jnp.pad(nbr_c, ((0, pad), (0, 0)))
+        row_c = jnp.pad(row_c, (0, pad))
+        count_c = jnp.pad(count_c, (0, pad))
+    return nbr_c, row_c, count_c, s
+
+
+def _expander(H, F):
+    """[H, H*F] 0/1 block one-hot: row h is 1 on columns [h*F, (h+1)*F).
+
+    ``weights @ E`` broadcasts per-head scalars across their feature block
+    ON THE MXU (exact in f32 — one term per output), so the weighted
+    accumulation becomes ONE full-lane [Sb, HF] madd instead of H half-lane
+    [Sb, F] madds — the VPU was the kernel bottleneck, not HBM."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, H * F), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, H * F), 0)
+    return (cols // F == rows).astype(jnp.float32)
 
 
 def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
@@ -91,6 +139,7 @@ def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
         rid_u = rid_ref[:].astype(jnp.uint32)  # [Sb, 1]
         hh = jax.lax.broadcasted_iota(jnp.uint32, (1, H), 1)
         inv_keep = 1.0 / (1.0 - drop_p)
+    E = _expander(H, F)
     for w in range(W):
         z = g_ref[w].astype(jnp.float32)       # [Sb, C] leading-dim slice
         sr = ar + z[:, HF:]                    # [Sb, H]
@@ -98,9 +147,6 @@ def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
         valid = cnt_ref[:] > w                 # [Sb, 1]
         p = jnp.where(valid, jnp.exp(s - bnd), 0.0)
         l = l + p
-        if with_pos:
-            ppos = jnp.where(sr >= 0, p, 0.0)
-            lp = lp + ppos
         if drop_p > 0.0:
             base = _pair_base(seed_u, rid_u,
                               cid_ref[w].astype(jnp.uint32))    # [Sb, 1]
@@ -108,12 +154,13 @@ def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
             pd = jnp.where(u > drop_p, p * inv_keep, 0.0)
         else:
             pd = p
-        for h in range(H):
-            x_h = z[:, h * F:(h + 1) * F]
-            acc_ref[:, h * F:(h + 1) * F] += pd[:, h:h + 1] * x_h
-            if with_pos:
-                pp_h = jnp.where(sr[:, h:h + 1] >= 0, pd[:, h:h + 1], 0.0)
-                accp_ref[:, h * F:(h + 1) * F] += pp_h * x_h
+        acc_ref[:] += jax.lax.dot(
+            pd, E, preferred_element_type=jnp.float32) * z[:, :HF]
+        if with_pos:
+            lp = lp + jnp.where(sr >= 0, p, 0.0)
+            ppd = jnp.where(sr >= 0, pd, 0.0)
+            accp_ref[:] += jax.lax.dot(
+                ppd, E, preferred_element_type=jnp.float32) * z[:, :HF]
     l_ref[:] = l
     if with_pos:
         lp_ref[:] = lp
@@ -135,7 +182,7 @@ def bin_gat_fwd(g_t, arb, count, *, H: int, F: int, slope: float,
     W, S, C = g_t.shape
     HF = H * F
     assert C == HF + H, (C, H, F)
-    sb = seg_block(W, C, g_t.dtype.itemsize)
+    sb = seg_block(W, C, g_t.dtype.itemsize, num_segs=S)
     grid = (_grid_pad(S, sb),)
     drop_p = float(drop[0]) if drop is not None else 0.0
     kern = functools.partial(_bin_gat_fwd_kernel, H=H, F=F, W=W,
@@ -175,7 +222,7 @@ def bin_gat_fwd(g_t, arb, count, *, H: int, F: int, slope: float,
         out_specs.append(seg_spec(HF))
     outs = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
-        out_shape=out_shape, compiler_params=_PARAMS, interpret=interpret,
+        out_shape=out_shape, compiler_params=_BIN_PARAMS, interpret=interpret,
     )(*args)
     if with_pos:
         m, l, lp, acc, accp = outs
@@ -202,15 +249,20 @@ def _bin_gat_bwd_kernel(ac_ref, x_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
     ac = ac_ref[:]
     x = x_ref[:].astype(jnp.float32)
     dx_ref[:] = jnp.zeros_like(dx_ref)
-    dac_ref[:] = jnp.zeros_like(dac_ref)
+    # dac factorization: sum_w (ah ge - a ws) dprime with ge = <x_h, g_w_h>
+    # is linear in g_w, so the ge half collapses to ONE per-head reduction
+    # per block:  <x_h, t_h>  with  t = sum_w ((ah dprime) @ E) * g_w,
+    # and the ws half to the running sum u2 = sum_w a dprime ws.
+    t = jnp.zeros((x.shape[0], HF), jnp.float32)
+    u2 = jnp.zeros_like(ac)
     if drop_p > 0.0:
         seed_u = seed_ref[0].astype(jnp.uint32)
         sid_u = sid_ref[:].astype(jnp.uint32)
         hh = jax.lax.broadcasted_iota(jnp.uint32, (1, H), 1)
         inv_keep = 1.0 / (1.0 - drop_p)
+    E = _expander(H, F)
     for w in range(W):
         z = g_ref[w].astype(jnp.float32)      # [Sb, Cz]
-        gi = z[:, :HF]
         ar_i = z[:, HF:HF + H]
         M_i = z[:, HF + H:HF + 2 * H]
         Li_i = z[:, HF + 2 * H:HF + 3 * H]
@@ -226,16 +278,17 @@ def _bin_gat_bwd_kernel(ac_ref, x_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
             ah = jnp.where(u > drop_p, a * inv_keep, 0.0)
         else:
             ah = a
-        prod = x * gi                          # [Sb, HF]
         dprime = jnp.where(sr >= 0, 1.0, slope)
-        for h in range(H):
-            dx_ref[:, h * F:(h + 1) * F] += (
-                ah[:, h:h + 1] * gi[:, h * F:(h + 1) * F])
-            ge_h = jnp.sum(prod[:, h * F:(h + 1) * F], axis=1,
-                           keepdims=True)     # [Sb, 1]
-            u_h = (ah[:, h:h + 1] * ge_h - a[:, h:h + 1] * ws_i[:, h:h + 1]) \
-                * dprime[:, h:h + 1]
-            dac_ref[:, h:h + 1] += u_h
+        u2 = u2 + a * dprime * ws_i
+        gi = z[:, :HF]
+        dx_ref[:] += jax.lax.dot(
+            ah, E, preferred_element_type=jnp.float32) * gi
+        t = t + jax.lax.dot(
+            ah * dprime, E, preferred_element_type=jnp.float32) * gi
+    xt = x * t
+    dac_ref[:] = jnp.concatenate(
+        [jnp.sum(xt[:, h * F:(h + 1) * F], axis=1, keepdims=True)
+         for h in range(H)], axis=1) - u2
 
 
 def bin_gat_bwd(g_t, ac_res, x_res, count, *, H: int, slope: float,
@@ -255,7 +308,7 @@ def bin_gat_bwd(g_t, ac_res, x_res, count, *, H: int, slope: float,
     W, S, Cz = g_t.shape
     HF = Cz - 4 * H
     F = HF // H
-    sb = seg_block(W, Cz, g_t.dtype.itemsize)
+    sb = seg_block(W, Cz, g_t.dtype.itemsize, num_segs=S)
     grid = (_grid_pad(S, sb),)
     drop_p = float(drop[0]) if drop is not None else 0.0
     kern = functools.partial(_bin_gat_bwd_kernel, H=H, F=F, W=W,
@@ -287,7 +340,7 @@ def bin_gat_bwd(g_t, ac_res, x_res, count, *, H: int, slope: float,
         out_specs=[seg_spec(HF), seg_spec(H)],
         out_shape=[jax.ShapeDtypeStruct((S, HF), jnp.float32, vma=vma),
                    jax.ShapeDtypeStruct((S, H), jnp.float32, vma=vma)],
-        compiler_params=_PARAMS, interpret=interpret,
+        compiler_params=_BIN_PARAMS, interpret=interpret,
     )(*args)
 
 
@@ -304,6 +357,7 @@ def _bin_gmm_fwd_kernel(beta_ref, cnt_ref, g_ref, mu_ref, isig_ref, acc_ref,
     KF = K * F
     beta = beta_ref[:]
     acc_ref[:] = jnp.zeros_like(acc_ref)
+    E = _expander(K, F)
     for w in range(W):
         z = g_ref[w].astype(jnp.float32)       # [Sb, C]
         valid = cnt_ref[:] > w                 # [Sb, 1]
@@ -311,13 +365,16 @@ def _bin_gmm_fwd_kernel(beta_ref, cnt_ref, g_ref, mu_ref, isig_ref, acc_ref,
         for d in range(D):
             pre = beta[:, d:d + 1] + z[:, KF + d:KF + d + 1]
             p_d.append(jnp.tanh(pre) if use_tanh else pre)
+        wgts = []
         for k in range(K):
             q = 0.0
             for d in range(D):
                 t = (p_d[d] - mu_ref[k, d]) * isig_ref[k, d]
                 q = q + t * t
-            wgt = jnp.where(valid, jnp.exp(-0.5 * q), 0.0)  # [Sb, 1]
-            acc_ref[:, k * F:(k + 1) * F] += wgt * z[:, k * F:(k + 1) * F]
+            wgts.append(jnp.where(valid, jnp.exp(-0.5 * q), 0.0))  # [Sb, 1]
+        acc_ref[:] += jax.lax.dot(
+            jnp.concatenate(wgts, axis=1), E,
+            preferred_element_type=jnp.float32) * z[:, :KF]
 
 
 def bin_gmm_node_fwd(g_t, beta_res, count, mu, isig, *, K: int, D: int,
@@ -331,7 +388,7 @@ def bin_gmm_node_fwd(g_t, beta_res, count, mu, isig, *, K: int, D: int,
     W, S, C = g_t.shape
     KF = C - D
     F = KF // K
-    sb = seg_block(W, C, g_t.dtype.itemsize)
+    sb = seg_block(W, C, g_t.dtype.itemsize, num_segs=S)
     grid = (_grid_pad(S, sb),)
     kern = functools.partial(_bin_gmm_fwd_kernel, K=K, D=D, F=F, W=W,
                              use_tanh=bool(use_tanh))
@@ -351,7 +408,7 @@ def bin_gmm_node_fwd(g_t, beta_res, count, mu, isig, *, K: int, D: int,
         ],
         out_specs=seg_spec(KF),
         out_shape=jax.ShapeDtypeStruct((S, KF), jnp.float32, vma=vma),
-        compiler_params=_PARAMS, interpret=interpret,
+        compiler_params=_BIN_PARAMS, interpret=interpret,
     )(beta_res, count.astype(jnp.int32).reshape(S, 1), g_t, mu, isig)
 
 
@@ -430,7 +487,7 @@ def bin_gmm_node_bwd(g_t, alpha_res, x_res, sf_res, count, mu, isig, *,
     F = KF // K
     Ds = sf_res.shape[-1]
     ns = 2 * K * D + D + D * Dd + D * Ds
-    sb = seg_block(W, Cz, g_t.dtype.itemsize)
+    sb = seg_block(W, Cz, g_t.dtype.itemsize, num_segs=S)
     grid = (_grid_pad(S, sb),)
     kern = functools.partial(_bin_gmm_bwd_kernel, K=K, D=D, Ds=Ds, Dd=Dd,
                              F=F, W=W, use_tanh=bool(use_tanh))
@@ -453,6 +510,6 @@ def bin_gmm_node_bwd(g_t, alpha_res, x_res, sf_res, count, mu, isig, *,
         out_specs=[seg_spec(KF), seg_spec(ns)],
         out_shape=[jax.ShapeDtypeStruct((S, KF), jnp.float32, vma=vma),
                    jax.ShapeDtypeStruct((S, ns), jnp.float32, vma=vma)],
-        compiler_params=_PARAMS, interpret=interpret,
+        compiler_params=_BIN_PARAMS, interpret=interpret,
     )(alpha_res, x_res, sf_res, count.astype(jnp.int32).reshape(S, 1), g_t,
       mu, isig)

@@ -52,27 +52,31 @@ def _spmm_adj(adj: BinnedAdj, weights, feat):
 
 
 def _sddmm_adj(adj: BinnedAdj, lhs, rhs, num_edges):
-    """w[e, h] = <lhs[row(e), h, :], rhs[col(e), h, :]> scattered to flat
-    CSR edge order."""
+    """w[e, h] = <lhs[row(e), h, :], rhs[col(e), h, :]> in flat CSR edge
+    order.  Per-slot results are emitted in concatenated [S*W] slot order and
+    re-ordered to CSR edge order by ONE edge-sized gather through the
+    build-time inverse slot table ``adj.epos`` — never an edge-sized
+    segment_sum scatter (XLA segment ops run ~100x below the streaming
+    rate; reference analogue mhsddmm writes each edge's dot directly,
+    mhsddmm_kernel.cu:11-99)."""
+    assert adj.epos is not None, \
+        "sddmm needs a graph built with edge_tables=True"
     h = lhs.shape[1]
     f = lhs.shape[-1]
-    out = jnp.zeros((num_edges, h), jnp.float32)
+    parts = []
     for width, nbr, edge, row, count in adj.bins():
         chunk = chunk_rows_for_budget(width, 2 * h * f)
 
-        def fn(nbr_c, edge_c, row_c, count_c):
+        def fn(nbr_c, row_c, count_c):
             m = lane_mask(count_c, width)
             g = jnp.einsum("shf,swhf->swh", lhs[row_c], rhs[nbr_c],
                            preferred_element_type=jnp.float32)
-            g = jnp.where(m[..., None], g, 0.0)
-            return (), (_segment_sum(g.reshape(-1, h), edge_c.reshape(-1),
-                                     num_edges),)
+            return (jnp.where(m[..., None], g, 0.0),), ()
 
-        _, (upd,) = scan_chunked(fn, (nbr, edge, row, count),
-                                 nbr.shape[0], chunk,
-                                 (jnp.zeros((num_edges, h), jnp.float32),))
-        out = out + upd
-    return out
+        (g,), _ = scan_chunked(fn, (nbr, row, count), nbr.shape[0], chunk,
+                               ())
+        parts.append(g.reshape(-1, h))  # [S*W, h] slot order
+    return jnp.concatenate(parts)[adj.epos]
 
 
 # ---------------------------------------------------------------------------
@@ -106,7 +110,15 @@ def spmm(graph: Graph, edge_weights, feat):
     Reference analogue: the SpMM stage of every fused layer; backward uses
     the transposed binned layout and an SDDMM, like fused_gatconv's
     mhspmm/mhsddmm pair (fused_gatconv_kernel.cu:712-890)."""
+    _check_no_dense(graph)
     return _spmm(graph.fwd, graph.bwd, edge_weights, feat)
+
+
+def _check_no_dense(graph: Graph):
+    # dense hub blocks carry no per-edge ids: a flat per-edge-data API over
+    # a dense-built graph would silently drop the hub edges
+    assert graph.fwd.dense is None and graph.bwd.dense is None, \
+        "flat per-edge APIs need a graph built with dense=None"
 
 
 @jax.custom_vjp
@@ -135,6 +147,7 @@ def sddmm(graph: Graph, lhs, rhs):
 
     lhs/rhs: [N, H, F] -> [E, H].  Reference analogue: mhsddmm
     (mhsddmm_kernel.cu:11-99); single-head is H=1."""
+    _check_no_dense(graph)
     return _sddmm(graph.fwd, graph.bwd, lhs, rhs)
 
 

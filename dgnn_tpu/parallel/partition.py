@@ -108,7 +108,7 @@ def _stack_binned(per_shard: Sequence[_binning.BinnedCSR], num_rows: int,
         rows.append(jnp.asarray(np.stack(rb)))
         counts.append(jnp.asarray(np.stack(cb)))
     return BinnedAdj(nbr=tuple(nbrs), edge=tuple(edges), row=tuple(rows),
-                     dense=None,
+                     dense=None, epos=None,
                      count=tuple(counts), cmb=None, widths=widths,
                      num_rows=num_rows, num_edges=num_edges)
 
@@ -252,10 +252,16 @@ def _stack_cmb(cmbs) -> CombineTable:
 
 
 def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
-                    widths: Sequence[int] = (8, 32, 128),
+                    widths: Sequence[int] | None = None,
                     self_loops: bool = True,
                     dense: str | tuple | None = None) -> GraphShards:
-    """Build row-partitioned shards + halo plan from a COO edge list (host)."""
+    """Build row-partitioned shards + halo plan from a COO edge list (host).
+
+    ``widths=None`` derives bin widths per DIRECTION from the global degree
+    histograms (binning.auto_widths) — shards must share one width set so
+    their bin tables stack on the mesh axis, so the choice is global, not
+    per shard (slot padding is directly wasted gather time, like
+    build_graph)."""
     src = np.asarray(src)
     dst = np.asarray(dst)
     if self_loops:
@@ -264,6 +270,12 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
     c = -(-num_nodes // num_shards)  # nodes per shard (padded space)
 
     row_ptr, col_ind = _build.coo_to_csr(src, dst, num_nodes)
+    if widths is None:
+        w_fwd = _binning.auto_widths(np.diff(row_ptr))
+        w_bwd = _binning.auto_widths(
+            np.bincount(col_ind, minlength=num_nodes))
+    else:
+        w_fwd = w_bwd = tuple(widths)
     csr_row = np.repeat(np.arange(num_nodes, dtype=np.int64),
                         np.diff(row_ptr).astype(np.int64))
     owner_dst = csr_row // c
@@ -356,14 +368,14 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
             fplans.append(fplan)
             loc_res = loc_s[f_keep]
             fwd_local_b.append(
-                _bin_subset(f_ptr, f_cols, f_keep, loc_res, c, widths))
+                _bin_subset(f_ptr, f_cols, f_keep, loc_res, c, w_fwd))
             fwd_halo_b.append(
-                _bin_subset(f_ptr, f_cols, f_keep, ~loc_res, c, widths))
+                _bin_subset(f_ptr, f_cols, f_keep, ~loc_res, c, w_fwd))
         else:
             fwd_local_b.append(
-                _bin_subset(lptr, cols_s, eids, loc_s, c, widths))
+                _bin_subset(lptr, cols_s, eids, loc_s, c, w_fwd))
             fwd_halo_b.append(
-                _bin_subset(lptr, cols_s, eids, ~loc_s, c, widths))
+                _bin_subset(lptr, cols_s, eids, ~loc_s, c, w_fwd))
 
         t_cols = rows_s[order_t].astype(np.int32)
         eids_t = eids[order_t]
@@ -374,10 +386,10 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
             bplans.append(bplan)
             bwd_b.append(_binning.bin_csr(b_ptr, b_cols.astype(np.int32),
                                           edge_ids=eids_t[b_keep],
-                                          widths=widths, keep_empty=True))
+                                          widths=w_bwd, keep_empty=True))
         else:
             bwd_b.append(_binning.bin_csr(tptr, t_cols, edge_ids=eids_t,
-                                          widths=widths, keep_empty=True))
+                                          widths=w_bwd, keep_empty=True))
         gids_b.append(gids_s)
 
     # combine tables index the STACKED (cross-shard padded) partial layout

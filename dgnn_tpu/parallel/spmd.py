@@ -45,7 +45,7 @@ def merge_binned(a: BinnedAdj, b: BinnedAdj, cmb=None, dense=None) -> BinnedAdj:
     partial order, so the fused ops run their fast scatter-free + MXU path."""
     assert a.num_rows == b.num_rows
     return BinnedAdj(nbr=a.nbr + b.nbr, edge=a.edge + b.edge, row=a.row + b.row,
-                     count=a.count + b.count, cmb=cmb, dense=dense,
+                     count=a.count + b.count, cmb=cmb, dense=dense, epos=None,
                      widths=a.widths + b.widths, num_rows=a.num_rows,
                      num_edges=a.num_edges + b.num_edges)
 

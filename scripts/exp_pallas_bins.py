@@ -87,5 +87,56 @@ def main():
         print(f"{name} train step: {dt*1e6:.1f} us")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("EXP_COMPONENTS") != "1":
     main()
+
+
+def components():
+    """Speed-of-light components for pubmed's layer-1 aggregate: bare
+    transposed gathers of all bins, and the fused kernels alone on
+    pre-gathered blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgnn_tpu.data import load_citation_dataset
+    from dgnn_tpu.graph import structure
+    from dgnn_tpu.ops.pallas_bins import bin_gat_fwd
+    from dgnn_tpu.utils.timing import time_op
+
+    rng = np.random.default_rng(0)
+    data = load_citation_dataset("pubmed", seed=0)
+    n = data.num_nodes
+    g = structure.build_graph(data.src, data.dst, n, dense="auto",
+                              edge_tables=False)
+    H, F = 4, 64
+    C = H * F + H
+    xcat = jnp.asarray(rng.normal(size=(n, C)), jnp.float32)
+    ar = jnp.asarray(rng.normal(size=(n, H)), jnp.float32)
+    print("widths", g.fwd.widths,
+          "slots", [x.size for x in g.fwd.nbr])
+
+    def gather_all(xc, *nbrs):
+        return sum(jnp.sum(xc[nb.T][:, :, 0]) for nb in nbrs) * 1e-30
+
+    nbrs = [jnp.asarray(x) for x in g.fwd.nbr]
+    dt = time_op(gather_all, xcat, *nbrs, max_wall=25)
+    print(f"bare transposed gathers (all bins): {dt*1e6:.1f} us")
+
+    for width, nbr, edge, row, count in g.fwd.bins():
+        S = nbr.shape[0]
+        g_t = jnp.asarray(rng.normal(size=(width, S, C)), jnp.float32)
+        arb = jnp.concatenate([ar[row], ar[row]], axis=1)
+        cnt = jnp.asarray(count)
+
+        def k_only(gt, arb_, cnt_):
+            m, l, lp, acc, accp = bin_gat_fwd(gt, arb_, cnt_, H=H, F=F,
+                                              slope=0.2, with_pos=True)
+            return acc
+        dt = time_op(k_only, g_t, arb, cnt, max_wall=25)
+        gb = width * S * C * 4 / 1e9
+        print(f"kernel alone W={width} S={S}: {dt*1e6:.1f} us "
+              f"({gb/dt:.0f} GB/s of {gb*1000:.0f} MB)")
+
+
+if __name__ == "__main__" and os.environ.get("EXP_COMPONENTS") == "1":
+    components()
