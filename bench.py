@@ -217,7 +217,8 @@ def bench_gat(dataset, scale, epochs, infer=False, heads=4,
     return dt
 
 
-def bench_gmm(dataset, scale, epochs, n_kernels, infer=False):
+def bench_gmm(dataset, scale, epochs, n_kernels, infer=False,
+              gather_dtype=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -230,7 +231,8 @@ def bench_gmm(dataset, scale, epochs, n_kernels, infer=False):
     graph = graph.slim()  # bins only on device
 
     model = MoNet(n_hidden=64, out_feats=ncls, n_layers=1, dim=2,
-                  n_kernels=n_kernels, dropout=0.5)
+                  n_kernels=n_kernels, dropout=0.5,
+                  gather_dtype=gather_dtype)
     key = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(key, graph, feat, pseudo)
     tx = optax.adam(1e-2)
@@ -413,9 +415,11 @@ def _runners(scale, epochs):
                                                 epochs * 10, 3),
         "gmm_citeseer_infer": lambda: bench_gmm("citeseer", 1.0, epochs * 10,
                                                 3, infer=True),
-        "gmm_reddit_train": lambda: bench_gmm("reddit", scale, 2, 2),
+        "gmm_reddit_train": lambda: bench_gmm("reddit", scale, 2, 2,
+                                              gather_dtype="bfloat16"),
         "gmm_reddit_infer": lambda: bench_gmm("reddit", scale, 2, 2,
-                                              infer=True),
+                                              infer=True,
+                                              gather_dtype="bfloat16"),
         "edgeconv_modelnet_train": lambda: bench_edgeconv(),
         "edgeconv_modelnet_infer": lambda: bench_edgeconv(infer=True),
     }

@@ -140,6 +140,12 @@ def structure_task_from_csr(row_ptr, col_ind, n_classes: int, n_feats: int,
     rng = np.random.default_rng(seed)
     c = n_classes
 
+    if len(col_ind) == 0:
+        # zero-edge graph: the reduceat below would index col_ind[-1]; BFS
+        # is meaningless — random labels, centroid features as usual
+        labels = rng.integers(0, c, n).astype(np.int32)
+        return _finish_structure_task(rng, labels, n, c, n_feats)
+
     seeds = rng.choice(n, size=c, replace=False)
     big = np.int64(n + 1)  # "unreached" distance sentinel
     dist = np.full(n, big, np.int64)
@@ -161,14 +167,19 @@ def structure_task_from_csr(row_ptr, col_ind, n_classes: int, n_feats: int,
     unreached = dist >= big
     lab[unreached] = rng.integers(0, c, int(unreached.sum()))
     labels = lab.astype(np.int32)
+    return _finish_structure_task(rng, labels, n, c, n_feats)
 
+
+def _finish_structure_task(rng, labels, n, c, n_feats):
     centroids = (rng.random((c, n_feats)) < 0.05).astype(np.float32)
     feats = centroids[labels] + rng.normal(
         0, 0.5, (n, n_feats)).astype(np.float32)
 
     idx = rng.permutation(n)
-    n_train = max(20 * c, n // 10)
-    n_val = max(500, n // 20)
+    # clamp the train/val splits so a nonzero test split always remains
+    # (tiny n would otherwise make test accuracy a 0/0)
+    n_train = min(max(20 * c, n // 10), max(1, int(n * 0.6)))
+    n_val = min(max(500, n // 20), max(1, int(n * 0.2)))
     train_mask = np.zeros(n, bool)
     val_mask = np.zeros(n, bool)
     test_mask = np.zeros(n, bool)

@@ -35,6 +35,7 @@ class GMMConv(nn.Module):
     residual: bool = False
     use_bias: bool = True
     pseudo_proj: bool = False
+    gather_dtype: object = None  # e.g. "bfloat16": halve gathered rows
 
     @nn.compact
     def __call__(self, graph: Graph, feat, pseudo, *, training: bool = False):
@@ -50,9 +51,12 @@ class GMMConv(nn.Module):
             pw = self.param("pseudo_w", nn.initializers.lecun_normal(),
                             (din, self.dim))
             pb = self.param("pseudo_b", nn.initializers.zeros, (self.dim,))
+            gd = (jnp.dtype(self.gather_dtype)
+                  if self.gather_dtype is not None else None)
             rst = gmm_aggregate_node(graph, node_feat, pseudo.src, pseudo.dst,
                                      mu, inv_sigma, proj_weight=pw,
-                                     proj_bias=pb, use_tanh=True)
+                                     proj_bias=pb, use_tanh=True,
+                                     gather_dtype=gd)
         elif isinstance(pseudo, tuple):
             if self.pseudo_proj:
                 din = pseudo[0][0].shape[-1]
@@ -90,6 +94,7 @@ class MoNet(nn.Module):
     dim: int
     n_kernels: int
     dropout: float = 0.5
+    gather_dtype: object = None
 
     @nn.compact
     def __call__(self, graph: Graph, feat, pseudo, *, training: bool = False):
@@ -105,6 +110,7 @@ class MoNet(nn.Module):
                 # inside the fused op; enables the dense hub-block path
                 h = GMMConv(out_feats=out, dim=self.dim,
                             n_kernels=self.n_kernels,
+                            gather_dtype=self.gather_dtype,
                             name=f"gmm_{i}")(graph, h, pseudo,
                                              training=training)
             elif binned:

@@ -480,7 +480,12 @@ def _node_bwd(adj_bwd: BinnedAdj, alpha, beta, sfeat, dfeat, feat, mu, isig,
     D = mu.shape[1]
     Dd = dfeat.shape[-1]
     KF = K * F
-    zcat = jnp.concatenate([g_out.reshape(-1, KF), beta, dfeat], axis=1)
+    # concat in feat's dtype: under gather_dtype=bfloat16 the backward's
+    # gathered rows halve like the forward's (accumulation stays f32 in
+    # the kernels; _concat_rows in ops/gat.py applies the same rule)
+    dt = feat.dtype
+    zcat = jnp.concatenate([g_out.reshape(-1, KF).astype(dt),
+                            beta.astype(dt), dfeat.astype(dt)], axis=1)
     zeros = (jnp.zeros((K, D), jnp.float32), jnp.zeros((K, D), jnp.float32),
              jnp.zeros((D,), jnp.float32),
              jnp.zeros((sfeat.shape[-1], D), jnp.float32),
@@ -653,7 +658,8 @@ _gmm_node.defvjp(_gmm_node_fwd, _gmm_node_bwd)
 
 def gmm_aggregate_node(graph: Graph, feat, src_scalars, dst_scalars, mu,
                        inv_sigma, *, proj_weight, proj_bias,
-                       use_tanh: bool = True, dense_dtype: str = "bfloat16"):
+                       use_tanh: bool = True, dense_dtype: str = "bfloat16",
+                       gather_dtype=None):
     """Fused MoNet aggregation with NODE-derived pseudo-coordinates.
 
     The pseudo-coordinate of edge (u -> v) is
@@ -670,11 +676,17 @@ def gmm_aggregate_node(graph: Graph, feat, src_scalars, dst_scalars, mu,
       mu, inv_sigma: [K, D]; proj_weight: [Ds+Dd, D]; proj_bias: [D].
       dense_dtype: MXU input dtype for the dense block ("bfloat16" |
         "float32").
+      gather_dtype: optional storage dtype (e.g. jnp.bfloat16) for the
+        gathered neighbor rows in BOTH passes; accumulation stays f32 and
+        the cast's own VJP restores f32 parameter gradients outside.
     Returns [N, K, F].
     """
     ds = src_scalars.shape[-1]
     pw_s = proj_weight[:ds]
     pw_d = proj_weight[ds:]
-    return _gmm_node(bool(use_tanh), str(dense_dtype), graph.fwd, graph.bwd,
-                     src_scalars, dst_scalars, feat, pw_s, pw_d, proj_bias,
-                     mu, inv_sigma)
+    if gather_dtype is not None:
+        feat = feat.astype(gather_dtype)
+    out = _gmm_node(bool(use_tanh), str(dense_dtype), graph.fwd, graph.bwd,
+                    src_scalars, dst_scalars, feat, pw_s, pw_d, proj_bias,
+                    mu, inv_sigma)
+    return out.astype(jnp.float32)

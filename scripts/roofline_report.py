@@ -71,7 +71,10 @@ def edgeconv_bound(train=True):
     steps, b, p, n_layers = 153 if train else 38, 64, 1024, 4
     passes = 3.0 if train else 1.0  # fwd + ~2x bwd
     pairs = steps * b * n_layers * p * p * passes
-    knn_pairs = steps * b * n_layers * p * p * (1.0 if train else 1.0)
+    # knn distance matrices: one P x P pass per layer in fwd only (the knn
+    # argmax/top-k is saved in forward, so backward re-derives nothing —
+    # the EdgeConv invariant)
+    knn_pairs = steps * b * n_layers * p * p
     return (pairs + knn_pairs) / DENSE_PAIRS_PER_S
 
 
