@@ -386,16 +386,21 @@ def _runners(scale, epochs):
     # reddit GAT runs gather_dtype=bfloat16: gradient-parity-tested
     # (tests/test_cache_and_misc.py) and halves the gathered-row bytes —
     # dgNN's reddit peak is 8283MB (gat_result.csv:10), ours must beat it.
+    bf16 = "bfloat16"
     return {
-        "gat_cora_train": lambda: bench_gat("cora", 1.0, epochs * 10),
+        "gat_cora_train": lambda: bench_gat("cora", 1.0, epochs * 10,
+                                            gather_dtype=bf16),
         "gat_cora_infer": lambda: bench_gat("cora", 1.0, epochs * 10,
-                                            infer=True),
-        "gat_pubmed_train": lambda: bench_gat("pubmed", 1.0, epochs * 5),
+                                            infer=True, gather_dtype=bf16),
+        "gat_pubmed_train": lambda: bench_gat("pubmed", 1.0, epochs * 5,
+                                              gather_dtype=bf16),
         "gat_pubmed_infer": lambda: bench_gat("pubmed", 1.0, epochs * 5,
-                                              infer=True),
-        "gat_citeseer_train": lambda: bench_gat("citeseer", 1.0, epochs * 10),
-        "gat_citeseer_infer": lambda: bench_gat("citeseer", 1.0, epochs * 10,
-                                                infer=True),
+                                              infer=True, gather_dtype=bf16),
+        "gat_citeseer_train": lambda: bench_gat("citeseer", 1.0, epochs * 10,
+                                                gather_dtype=bf16),
+        "gat_citeseer_infer": lambda: bench_gat("citeseer", 1.0,
+                                                epochs * 10, infer=True,
+                                                gather_dtype=bf16),
         "gat_reddit_train": lambda: bench_gat("reddit", scale, 2,
                                               gather_dtype="bfloat16"),
         "gat_reddit_infer": lambda: bench_gat("reddit", scale, 2, infer=True,
@@ -405,16 +410,20 @@ def _runners(scale, epochs):
         "gat_reddit_h1_infer": lambda: bench_gat("reddit", scale, 2,
                                                  infer=True, heads=1,
                                                  gather_dtype="bfloat16"),
-        "gmm_cora_train": lambda: bench_gmm("cora", 1.0, epochs * 10, 3),
+        "gmm_cora_train": lambda: bench_gmm("cora", 1.0, epochs * 10, 3,
+                                            gather_dtype=bf16),
         "gmm_cora_infer": lambda: bench_gmm("cora", 1.0, epochs * 10, 3,
-                                            infer=True),
-        "gmm_pubmed_train": lambda: bench_gmm("pubmed", 1.0, epochs * 5, 3),
+                                            infer=True, gather_dtype=bf16),
+        "gmm_pubmed_train": lambda: bench_gmm("pubmed", 1.0, epochs * 5, 3,
+                                              gather_dtype=bf16),
         "gmm_pubmed_infer": lambda: bench_gmm("pubmed", 1.0, epochs * 5, 3,
-                                              infer=True),
+                                              infer=True, gather_dtype=bf16),
         "gmm_citeseer_train": lambda: bench_gmm("citeseer", 1.0,
-                                                epochs * 10, 3),
+                                                epochs * 10, 3,
+                                                gather_dtype=bf16),
         "gmm_citeseer_infer": lambda: bench_gmm("citeseer", 1.0, epochs * 10,
-                                                3, infer=True),
+                                                3, infer=True,
+                                                gather_dtype=bf16),
         "gmm_reddit_train": lambda: bench_gmm("reddit", scale, 2, 2,
                                               gather_dtype="bfloat16"),
         "gmm_reddit_infer": lambda: bench_gmm("reddit", scale, 2, 2,
@@ -485,8 +494,7 @@ def main():
 
     def ref_eff(name):
         r = REF[name]
-        return r * scale if name in ("gat_reddit_train",
-                                     "gmm_reddit_train") else r
+        return r * scale if name in _SCALED else r
 
     details = {}
     speedups = []

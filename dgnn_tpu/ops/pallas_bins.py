@@ -44,10 +44,10 @@ from .pallas_dense import _PARAMS, _pair_base, _pair_u, _vma_of
 __all__ = ["bin_gat_fwd", "bin_gat_bwd", "bin_gmm_node_fwd",
            "bin_gmm_node_bwd", "PALLAS_MAX_W", "seg_block", "pad_segs"]
 
-# Bins wider than this stay on the XLA path: the kernels unroll the width
-# statically and a 512-wide unroll explodes Mosaic compile time.  After
-# dense-hub extraction the residual lives almost entirely in narrow bins.
-PALLAS_MAX_W = 64
+# Bins wider than this stay on the XLA path.  The kernels fori_loop over
+# the width (compile time is W-independent), so this covers every width
+# auto_widths emits; the cap only guards pathological hand-built graphs.
+PALLAS_MAX_W = 512
 
 # Target VMEM bytes for one gathered block [W, Sb, C] (double-buffered by
 # the pipeline; the chip has 128MB, _PARAMS raises the scoped limit).
@@ -130,23 +130,29 @@ def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
     bnd = arb_ref[:, H:]
     m_ref[:] = bnd  # every segment of a row shares the row bound
     acc_ref[:] = jnp.zeros_like(acc_ref)
+    l_ref[:] = jnp.zeros_like(l_ref)
     if with_pos:
         accp_ref[:] = jnp.zeros_like(accp_ref)
-    l = jnp.zeros_like(bnd)
-    lp = jnp.zeros_like(bnd) if with_pos else None
+        lp_ref[:] = jnp.zeros_like(lp_ref)
     if drop_p > 0.0:
         seed_u = seed_ref[0].astype(jnp.uint32)
         rid_u = rid_ref[:].astype(jnp.uint32)  # [Sb, 1]
         hh = jax.lax.broadcasted_iota(jnp.uint32, (1, H), 1)
         inv_keep = 1.0 / (1.0 - drop_p)
     E = _expander(H, F)
-    for w in range(W):
+
+    # fori_loop over slots, NOT a python unroll: the unrolled program's
+    # Mosaic compile time scales with W and exploded the bench wall
+    # (~200-600s per config).  All accumulators live in REFS, never the
+    # loop carry — a large carried value (measured with a [Sb, HF] carry)
+    # serializes the loop 2-6x.
+    def body(w, carry):
         z = g_ref[w].astype(jnp.float32)       # [Sb, C] leading-dim slice
         sr = ar + z[:, HF:]                    # [Sb, H]
         s = jnp.maximum(sr, sr * slope)
         valid = cnt_ref[:] > w                 # [Sb, 1]
         p = jnp.where(valid, jnp.exp(s - bnd), 0.0)
-        l = l + p
+        l_ref[:] += p
         if drop_p > 0.0:
             base = _pair_base(seed_u, rid_u,
                               cid_ref[w].astype(jnp.uint32))    # [Sb, 1]
@@ -157,13 +163,13 @@ def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
         acc_ref[:] += jax.lax.dot(
             pd, E, preferred_element_type=jnp.float32) * z[:, :HF]
         if with_pos:
-            lp = lp + jnp.where(sr >= 0, p, 0.0)
+            lp_ref[:] += jnp.where(sr >= 0, p, 0.0)
             ppd = jnp.where(sr >= 0, pd, 0.0)
             accp_ref[:] += jax.lax.dot(
                 ppd, E, preferred_element_type=jnp.float32) * z[:, :HF]
-    l_ref[:] = l
-    if with_pos:
-        lp_ref[:] = lp
+        return carry
+
+    jax.lax.fori_loop(0, W, body, 0)
 
 
 def bin_gat_fwd(g_t, arb, count, *, H: int, F: int, slope: float,
@@ -244,7 +250,7 @@ def _bin_gat_bwd_kernel(ac_ref, x_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
     if drop_p > 0.0:
         sid_ref, did_ref, seed_ref = rest[:3]
         rest = rest[3:]
-    dx_ref, dac_ref = rest
+    dx_ref, dac_ref, t_ref, u2_ref = rest
     HF = H * F
     ac = ac_ref[:]
     x = x_ref[:].astype(jnp.float32)
@@ -252,16 +258,19 @@ def _bin_gat_bwd_kernel(ac_ref, x_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
     # dac factorization: sum_w (ah ge - a ws) dprime with ge = <x_h, g_w_h>
     # is linear in g_w, so the ge half collapses to ONE per-head reduction
     # per block:  <x_h, t_h>  with  t = sum_w ((ah dprime) @ E) * g_w,
-    # and the ws half to the running sum u2 = sum_w a dprime ws.
-    t = jnp.zeros((x.shape[0], HF), jnp.float32)
-    u2 = jnp.zeros_like(ac)
+    # and the ws half to the running sum u2 = sum_w a dprime ws.  Both
+    # accumulate in SCRATCH refs — large loop-carried values serialize the
+    # fori_loop (see fwd kernel note).
+    t_ref[:] = jnp.zeros_like(t_ref)
+    u2_ref[:] = jnp.zeros_like(u2_ref)
     if drop_p > 0.0:
         seed_u = seed_ref[0].astype(jnp.uint32)
         sid_u = sid_ref[:].astype(jnp.uint32)
         hh = jax.lax.broadcasted_iota(jnp.uint32, (1, H), 1)
         inv_keep = 1.0 / (1.0 - drop_p)
     E = _expander(H, F)
-    for w in range(W):
+
+    def body(w, carry):
         z = g_ref[w].astype(jnp.float32)      # [Sb, Cz]
         ar_i = z[:, HF:HF + H]
         M_i = z[:, HF + H:HF + 2 * H]
@@ -279,16 +288,19 @@ def _bin_gat_bwd_kernel(ac_ref, x_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
         else:
             ah = a
         dprime = jnp.where(sr >= 0, 1.0, slope)
-        u2 = u2 + a * dprime * ws_i
+        u2_ref[:] += a * dprime * ws_i
         gi = z[:, :HF]
         dx_ref[:] += jax.lax.dot(
             ah, E, preferred_element_type=jnp.float32) * gi
-        t = t + jax.lax.dot(
+        t_ref[:] += jax.lax.dot(
             ah * dprime, E, preferred_element_type=jnp.float32) * gi
-    xt = x * t
+        return carry
+
+    jax.lax.fori_loop(0, W, body, 0)
+    xt = x * t_ref[:]
     dac_ref[:] = jnp.concatenate(
         [jnp.sum(xt[:, h * F:(h + 1) * F], axis=1, keepdims=True)
-         for h in range(H)], axis=1) - u2
+         for h in range(H)], axis=1) - u2_ref[:]
 
 
 def bin_gat_bwd(g_t, ac_res, x_res, count, *, H: int, slope: float,
@@ -337,6 +349,8 @@ def bin_gat_bwd(g_t, ac_res, x_res, count, *, H: int, slope: float,
     vma = _vma_of(*args)
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
+        scratch_shapes=[pltpu.VMEM((sb, HF), jnp.float32),   # t
+                        pltpu.VMEM((sb, H), jnp.float32)],   # u2
         out_specs=[seg_spec(HF), seg_spec(H)],
         out_shape=[jax.ShapeDtypeStruct((S, HF), jnp.float32, vma=vma),
                    jax.ShapeDtypeStruct((S, H), jnp.float32, vma=vma)],
@@ -358,7 +372,8 @@ def _bin_gmm_fwd_kernel(beta_ref, cnt_ref, g_ref, mu_ref, isig_ref, acc_ref,
     beta = beta_ref[:]
     acc_ref[:] = jnp.zeros_like(acc_ref)
     E = _expander(K, F)
-    for w in range(W):
+
+    def body(w, carry):
         z = g_ref[w].astype(jnp.float32)       # [Sb, C]
         valid = cnt_ref[:] > w                 # [Sb, 1]
         p_d = []
@@ -375,6 +390,9 @@ def _bin_gmm_fwd_kernel(beta_ref, cnt_ref, g_ref, mu_ref, isig_ref, acc_ref,
         acc_ref[:] += jax.lax.dot(
             jnp.concatenate(wgts, axis=1), E,
             preferred_element_type=jnp.float32) * z[:, :KF]
+        return carry
+
+    jax.lax.fori_loop(0, W, body, 0)
 
 
 def bin_gmm_node_fwd(g_t, beta_res, count, mu, isig, *, K: int, D: int,
@@ -435,7 +453,8 @@ def _bin_gmm_bwd_kernel(alpha_ref, x_ref, sf_ref, cnt_ref, g_ref, mu_ref,
     sf = sf_ref[:].astype(jnp.float32)
     dx_ref[:] = jnp.zeros_like(dx_ref)
     st_ref[:] = jnp.zeros_like(st_ref)
-    for w in range(W):
+
+    def body(w, carry):
         z = g_ref[w].astype(jnp.float32)       # [Sb, Cz]
         valid = cnt_ref[:] > w
         p_d, dp = [], [0.0] * D
@@ -470,6 +489,9 @@ def _bin_gmm_bwd_kernel(alpha_ref, x_ref, sf_ref, cnt_ref, g_ref, mu_ref,
             for i in range(Ds):
                 o = 2 * KD + D + D * Dd + d * Ds + i
                 st_ref[:, o:o + 1] += dpre * sf[:, i:i + 1]
+        return carry
+
+    jax.lax.fori_loop(0, W, body, 0)
 
 
 def bin_gmm_node_bwd(g_t, alpha_res, x_res, sf_res, count, mu, isig, *,

@@ -1,0 +1,107 @@
+"""Measured RELATIVE scaling of the sharded training step on the virtual
+CPU mesh (VERDICT r3 item 10): the same fixed-size graph partitioned over
+1, 2, 4, 8 virtual devices, one full ShardedGAT training step timed
+device-resident.  CPU timings say nothing about TPU absolutes, but the
+RELATIVE curve validates what the analytic model only assumes — that the
+halo all_to_all overlaps local work and per-shard cost shrinks with P.
+
+Writes docs/cpu_mesh_scaling.json for docs/SCALING_REPORT.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dgnn_tpu.parallel import ShardedGAT, local_view, partition_graph
+
+
+def step_time(n_devices, src, dst, n, feat_np, labels_np, reps=5):
+    shards = partition_graph(src, dst, n, n_devices)
+    n_pad = shards.padded_nodes
+    feat = np.zeros((n_pad, feat_np.shape[1]), np.float32)
+    feat[:n] = feat_np
+    labels = np.zeros(n_pad, np.int32)
+    labels[:n] = labels_np
+    mask = np.zeros(n_pad, np.float32)
+    mask[:n] = 1.0
+
+    mesh = Mesh(np.array(jax.devices()[:n_devices]), ("graph",))
+    model = ShardedGAT(num_layers=1, n_hidden=32, n_classes=7, heads=(4, 1))
+    from dgnn_tpu.graph.structure import build_graph
+    from dgnn_tpu.models import GAT
+
+    g = build_graph(src, dst, n)
+    params = GAT(num_layers=1, n_hidden=32, n_classes=7, heads=(4, 1)).init(
+        jax.random.PRNGKey(0), g, jnp.asarray(feat[:n]))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    fwd = shard_map(lambda p, s, x: model.apply(p, local_view(s), x),
+                    mesh=mesh, in_specs=(P(), P("graph"), P("graph")),
+                    out_specs=P("graph"), check_vma=False)
+
+    @jax.jit
+    def train_step(params, opt, feat):
+        def loss_fn(p):
+            logits = fwd(p, shards, feat)
+            ls = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.asarray(labels))
+            return jnp.sum(ls * jnp.asarray(mask)) / n
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    fj = jnp.asarray(feat)
+    params, opt, loss = train_step(params, opt, fj)  # compile + warm
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        params, opt, loss = train_step(params, opt, fj)
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    rng = np.random.default_rng(0)
+    n, deg = 16384, 16
+    src = rng.integers(0, n, deg * n)
+    dst = rng.integers(0, n, deg * n)
+    feat = rng.normal(size=(n, 64)).astype(np.float32)
+    labels = rng.integers(0, 7, n).astype(np.int32)
+
+    out = {"nodes": n, "edges": int(deg * n), "host_devices": 8,
+           "note": "virtual CPU mesh; RELATIVE scaling only", "steps": {}}
+    t1 = None
+    for p in (1, 2, 4, 8):
+        t = step_time(p, src, dst, n, feat, labels)
+        t1 = t1 or t
+        out["steps"][str(p)] = {"seconds": t, "speedup_vs_1": t1 / t,
+                                "efficiency": t1 / t / p}
+        print(f"P={p}: {t*1e3:.1f} ms/step, speedup {t1/t:.2f}x, "
+              f"efficiency {t1/t/p:.2f}", flush=True)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "cpu_mesh_scaling.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -62,7 +62,7 @@ def main():
     from dgnn_tpu.graph import cache as gcache
 
     path = os.path.join(REPO, ".bench_cache",
-                        "rmat_graph_232965_114615892_d5.npz")
+                        "rmat_graph_232965_114615892_d6.npz")
     g = gcache.load_graph(path)
     n, din, ncls = g.num_nodes, 602, 41
     rng = np.random.default_rng(0)

@@ -35,7 +35,7 @@ def main():
     from dgnn_tpu.utils.timing import time_epoch_loop
 
     path = os.path.join(REPO, ".bench_cache",
-                        "rmat_graph_232965_114615892_d5.npz")
+                        "rmat_graph_232965_114615892_d6.npz")
     g = gcache.load_graph(path).slim()
     n = g.num_nodes
     din, ncls = 602, 41

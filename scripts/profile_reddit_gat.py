@@ -42,7 +42,7 @@ def main():
     from dgnn_tpu.ops.pallas_dense import dense_gat_fwd, dense_gat_bwd
 
     path = os.path.join(REPO, ".bench_cache",
-                        "rmat_graph_232965_114615892_d5.npz")
+                        "rmat_graph_232965_114615892_d6.npz")
     g = gcache.load_graph(path)
     n = g.num_nodes
     H, F = 4, 64

@@ -27,7 +27,7 @@ def main():
     from dgnn_tpu.parallel.partition import partition_graph
 
     cache = os.path.join(REPO, ".bench_cache",
-                         "rmat_graph_232965_114615892_d5.npz")
+                         "rmat_graph_232965_114615892_d6.npz")
     z = np.load(cache)
     meta = json.loads(bytes(z["meta_json"]).decode())
     row_ptr = z["row_ptr"].astype(np.int64)

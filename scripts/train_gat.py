@@ -32,7 +32,7 @@ def main(args):
         os.path.abspath(__file__))), ".bench_cache")
     from dgnn_tpu.data.synthetic import CITATION_SHAPES
     n_ds, e_ds, f_ds, c_ds = CITATION_SHAPES.get(args.dataset, (0,) * 4)
-    cache_path = os.path.join(cache_dir, f"rmat_graph_{n_ds}_{e_ds}_d5.npz")
+    cache_path = os.path.join(cache_dir, f"rmat_graph_{n_ds}_{e_ds}_d6.npz")
     raw_path = os.path.join(cache_dir, f"rmat_raw_{n_ds}_{e_ds}.npz")
     if (args.dataset == "reddit" and os.path.exists(cache_path)
             and os.path.exists(raw_path)):
