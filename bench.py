@@ -477,8 +477,8 @@ def _merge_details(path, details, geomean):
 def main():
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
     epochs = int(os.environ.get("BENCH_EPOCHS", "20"))
-    total_wall = float(os.environ.get("BENCH_TOTAL_WALL", "1500"))
-    cfg_timeout = float(os.environ.get("BENCH_CONFIG_TIMEOUT", "600"))
+    total_wall = float(os.environ.get("BENCH_TOTAL_WALL", "2200"))
+    cfg_timeout = float(os.environ.get("BENCH_CONFIG_TIMEOUT", "900"))
     deadline = time.time() + total_wall
     only = os.environ.get("BENCH_CONFIGS")
     only = set(only.split(",")) if only else None

@@ -67,11 +67,16 @@ def seg_block(width: int, cols: int, itemsize: int = 4,
     out-of-bounds DMA on real hardware (reproducibly crashed the TPU worker
     on a 1800-segment bin with a 2048 block; a partially-overhanging LAST
     block is fine — Mosaic masks it)."""
+    # sublane granule: the block's second-minor dim is the segment dim, and
+    # bf16 tiles are (16, 128) — a non-multiple block hangs/explodes the
+    # Mosaic layout search (observed: bf16 gather_dtype configs never
+    # finished compiling with 8-granule blocks)
+    gran = 8 * (4 // max(1, itemsize)) if itemsize < 4 else 8
     sb = _BLOCK_BYTES // max(1, width * cols * itemsize)
-    sb = max(8, min(int(sb), 2048))
+    sb = max(gran, min(int(sb), 2048))
     if num_segs is not None:
-        sb = min(sb, max(8, -(-int(num_segs) // 8) * 8))
-    return (sb // 8) * 8
+        sb = min(sb, max(gran, -(-int(num_segs) // gran) * gran))
+    return (sb // gran) * gran
 
 
 def _grid_pad(s: int, sb: int) -> int:
@@ -101,6 +106,29 @@ def pad_segs(sb: int, nbr_c, row_c, count_c):
     return nbr_c, row_c, count_c, s
 
 
+
+def _f32_src(g_ref, rest):
+    """(f32 slot-row ref, remaining refs).
+
+    For bf16 inputs the per-iteration ``g_ref[w].astype(f32)`` (dynamic
+    slice + convert) sent the Mosaic layout search into a non-terminating
+    compile, and Mosaic cannot dynamically index a VALUE — so non-f32
+    blocks are bulk-converted ONCE into a f32 scratch ref (the last kernel
+    arg, added by the wrapper) and the loop slices that ref instead."""
+    if g_ref.dtype == jnp.float32:
+        return g_ref, rest
+    gf_ref = rest[-1]
+    gf_ref[...] = g_ref[...].astype(jnp.float32)
+    return gf_ref, rest[:-1]
+
+
+def _gf_scratch(g_t, sb):
+    """Scratch list for _f32_src (empty when the input is already f32)."""
+    if g_t.dtype == jnp.float32:
+        return []
+    return [pltpu.VMEM((g_t.shape[0], sb, g_t.shape[2]), jnp.float32)]
+
+
 def _expander(H, F):
     """[H, H*F] 0/1 block one-hot: row h is 1 on columns [h*F, (h+1)*F).
 
@@ -118,6 +146,7 @@ def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
     """One segment block: arb [Sb, 2H] = [ar | bound], cnt [Sb, 1], g
     [W, Sb, C] gathered rows (C = HF + H, layout [x | ac]).  Outputs
     m/l(/lpos) [Sb, H] and acc(/accpos) [Sb, HF]."""
+    g_ref, rest = _f32_src(g_ref, rest)
     if drop_p > 0.0:
         rid_ref, cid_ref, seed_ref = rest[:3]
         rest = rest[3:]
@@ -147,7 +176,7 @@ def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
     # loop carry — a large carried value (measured with a [Sb, HF] carry)
     # serializes the loop 2-6x.
     def body(w, carry):
-        z = g_ref[w].astype(jnp.float32)       # [Sb, C] leading-dim slice
+        z = g_ref[w]                           # [Sb, C] leading-dim slice
         sr = ar + z[:, HF:]                    # [Sb, H]
         s = jnp.maximum(sr, sr * slope)
         valid = cnt_ref[:] > w                 # [Sb, 1]
@@ -228,7 +257,8 @@ def bin_gat_fwd(g_t, arb, count, *, H: int, F: int, slope: float,
         out_specs.append(seg_spec(HF))
     outs = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
-        out_shape=out_shape, compiler_params=_BIN_PARAMS, interpret=interpret,
+        out_shape=out_shape, scratch_shapes=_gf_scratch(g_t, sb),
+        compiler_params=_BIN_PARAMS, interpret=interpret,
     )(*args)
     if with_pos:
         m, l, lp, acc, accp = outs
@@ -247,6 +277,7 @@ def _bin_gat_bwd_kernel(ac_ref, x_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
       dx  += sum_w a^ g_w
       dac += sum_w (a^ <x, g_w> - a ws_w) * leaky'(s_raw)
     """
+    g_ref, rest = _f32_src(g_ref, rest)
     if drop_p > 0.0:
         sid_ref, did_ref, seed_ref = rest[:3]
         rest = rest[3:]
@@ -271,7 +302,7 @@ def _bin_gat_bwd_kernel(ac_ref, x_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
     E = _expander(H, F)
 
     def body(w, carry):
-        z = g_ref[w].astype(jnp.float32)      # [Sb, Cz]
+        z = g_ref[w]                          # [Sb, Cz]
         ar_i = z[:, HF:HF + H]
         M_i = z[:, HF + H:HF + 2 * H]
         Li_i = z[:, HF + 2 * H:HF + 3 * H]
@@ -349,8 +380,9 @@ def bin_gat_bwd(g_t, ac_res, x_res, count, *, H: int, slope: float,
     vma = _vma_of(*args)
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
-        scratch_shapes=[pltpu.VMEM((sb, HF), jnp.float32),   # t
-                        pltpu.VMEM((sb, H), jnp.float32)],   # u2
+        scratch_shapes=([pltpu.VMEM((sb, HF), jnp.float32),   # t
+                         pltpu.VMEM((sb, H), jnp.float32)]    # u2
+                        + _gf_scratch(g_t, sb)),
         out_specs=[seg_spec(HF), seg_spec(H)],
         out_shape=[jax.ShapeDtypeStruct((S, HF), jnp.float32, vma=vma),
                    jax.ShapeDtypeStruct((S, H), jnp.float32, vma=vma)],
@@ -364,17 +396,18 @@ def bin_gat_bwd(g_t, ac_res, x_res, count, *, H: int, slope: float,
 
 
 def _bin_gmm_fwd_kernel(beta_ref, cnt_ref, g_ref, mu_ref, isig_ref, acc_ref,
-                        *, K, D, F, W, use_tanh):
+                        *rest, K, D, F, W, use_tanh):
     """One segment block: beta [Sb, D] resident dst-side projection, g
     [W, Sb, C] gathered [x | alpha] rows (C = K*F + D).  Output acc
     [Sb, K*F] Gaussian-weighted sums (no softmax stats — plain sums)."""
+    g_ref, rest = _f32_src(g_ref, rest)
     KF = K * F
     beta = beta_ref[:]
     acc_ref[:] = jnp.zeros_like(acc_ref)
     E = _expander(K, F)
 
     def body(w, carry):
-        z = g_ref[w].astype(jnp.float32)       # [Sb, C]
+        z = g_ref[w]                           # [Sb, C]
         valid = cnt_ref[:] > w                 # [Sb, 1]
         p_d = []
         for d in range(D):
@@ -426,12 +459,13 @@ def bin_gmm_node_fwd(g_t, beta_res, count, mu, isig, *, K: int, D: int,
         ],
         out_specs=seg_spec(KF),
         out_shape=jax.ShapeDtypeStruct((S, KF), jnp.float32, vma=vma),
+        scratch_shapes=_gf_scratch(g_t, sb),
         compiler_params=_BIN_PARAMS, interpret=interpret,
     )(beta_res, count.astype(jnp.int32).reshape(S, 1), g_t, mu, isig)
 
 
 def _bin_gmm_bwd_kernel(alpha_ref, x_ref, sf_ref, cnt_ref, g_ref, mu_ref,
-                        isig_ref, dx_ref, st_ref, *, K, D, Ds, Dd, F, W,
+                        isig_ref, dx_ref, st_ref, *rest, K, D, Ds, Dd, F, W,
                         use_tanh):
     """Transposed (CSC) node-pseudo GMM backward block: rows = sources.
 
@@ -446,6 +480,7 @@ def _bin_gmm_bwd_kernel(alpha_ref, x_ref, sf_ref, cnt_ref, g_ref, mu_ref,
       [2KD+D : +D*Dd)         sum dpre_d * dfeat_i      (-> dpw dst block)
       [2KD+D+D*Dd : +D*Ds)    sum dpre_d * sfeat_i      (-> dpw src block)
     """
+    g_ref, rest = _f32_src(g_ref, rest)
     KF = K * F
     KD = K * D
     alpha = alpha_ref[:]
@@ -455,7 +490,7 @@ def _bin_gmm_bwd_kernel(alpha_ref, x_ref, sf_ref, cnt_ref, g_ref, mu_ref,
     st_ref[:] = jnp.zeros_like(st_ref)
 
     def body(w, carry):
-        z = g_ref[w].astype(jnp.float32)       # [Sb, Cz]
+        z = g_ref[w]                           # [Sb, Cz]
         valid = cnt_ref[:] > w
         p_d, dp = [], [0.0] * D
         for d in range(D):
@@ -532,6 +567,7 @@ def bin_gmm_node_bwd(g_t, alpha_res, x_res, sf_res, count, mu, isig, *,
         out_specs=[seg_spec(KF), seg_spec(ns)],
         out_shape=[jax.ShapeDtypeStruct((S, KF), jnp.float32, vma=vma),
                    jax.ShapeDtypeStruct((S, ns), jnp.float32, vma=vma)],
+        scratch_shapes=_gf_scratch(g_t, sb),
         compiler_params=_BIN_PARAMS, interpret=interpret,
     )(alpha_res, x_res, sf_res, count.astype(jnp.int32).reshape(S, 1), g_t,
       mu, isig)
