@@ -168,8 +168,17 @@ def _node_pseudo(graph):
     return NodePseudo(src=rsq, dst=rsq)
 
 
+def _reddit_env():
+    """Halve the gather chunk budget for reddit configs: the [W, chunk, C]
+    gathered blocks are the dominant temporaries, and 128MB chunks cut the
+    measured peak at ~no speed cost (more scan steps, same streaming)."""
+    os.environ.setdefault("DGNN_TPU_GATHER_BUDGET_MB", "128")
+
+
 def bench_gat(dataset, scale, epochs, infer=False, heads=4,
               gather_dtype=None):
+    if dataset == "reddit":
+        _reddit_env()
     import jax
     import jax.numpy as jnp
     import optax
@@ -219,6 +228,8 @@ def bench_gat(dataset, scale, epochs, infer=False, heads=4,
 
 def bench_gmm(dataset, scale, epochs, n_kernels, infer=False,
               gather_dtype=None):
+    if dataset == "reddit":
+        _reddit_env()
     import jax
     import jax.numpy as jnp
     import optax
@@ -386,49 +397,38 @@ def _runners(scale, epochs):
     # reddit GAT runs gather_dtype=bfloat16: gradient-parity-tested
     # (tests/test_cache_and_misc.py) and halves the gathered-row bytes —
     # dgNN's reddit peak is 8283MB (gat_result.csv:10), ours must beat it.
-    bf16 = "bfloat16"
+    # f32 gathers everywhere: bf16 gathered blocks measured SLOWER through
+    # the bin kernels (the scratch conversion pass eats the bandwidth win;
+    # gmm_pubmed_train 0.59x bf16 vs 1.69x f32).  Reddit's peak-memory win
+    # comes from a smaller gather chunk budget instead (_reddit_env).
     return {
-        "gat_cora_train": lambda: bench_gat("cora", 1.0, epochs * 10,
-                                            gather_dtype=bf16),
+        "gat_cora_train": lambda: bench_gat("cora", 1.0, epochs * 10),
         "gat_cora_infer": lambda: bench_gat("cora", 1.0, epochs * 10,
-                                            infer=True, gather_dtype=bf16),
-        "gat_pubmed_train": lambda: bench_gat("pubmed", 1.0, epochs * 5,
-                                              gather_dtype=bf16),
+                                            infer=True),
+        "gat_pubmed_train": lambda: bench_gat("pubmed", 1.0, epochs * 5),
         "gat_pubmed_infer": lambda: bench_gat("pubmed", 1.0, epochs * 5,
-                                              infer=True, gather_dtype=bf16),
-        "gat_citeseer_train": lambda: bench_gat("citeseer", 1.0, epochs * 10,
-                                                gather_dtype=bf16),
-        "gat_citeseer_infer": lambda: bench_gat("citeseer", 1.0,
-                                                epochs * 10, infer=True,
-                                                gather_dtype=bf16),
-        "gat_reddit_train": lambda: bench_gat("reddit", scale, 2,
-                                              gather_dtype="bfloat16"),
-        "gat_reddit_infer": lambda: bench_gat("reddit", scale, 2, infer=True,
-                                              gather_dtype="bfloat16"),
-        "gat_reddit_h1_train": lambda: bench_gat("reddit", scale, 2, heads=1,
-                                                 gather_dtype="bfloat16"),
+                                              infer=True),
+        "gat_citeseer_train": lambda: bench_gat("citeseer", 1.0, epochs * 10),
+        "gat_citeseer_infer": lambda: bench_gat("citeseer", 1.0, epochs * 10,
+                                                infer=True),
+        "gat_reddit_train": lambda: bench_gat("reddit", scale, 2),
+        "gat_reddit_infer": lambda: bench_gat("reddit", scale, 2, infer=True),
+        "gat_reddit_h1_train": lambda: bench_gat("reddit", scale, 2, heads=1),
         "gat_reddit_h1_infer": lambda: bench_gat("reddit", scale, 2,
-                                                 infer=True, heads=1,
-                                                 gather_dtype="bfloat16"),
-        "gmm_cora_train": lambda: bench_gmm("cora", 1.0, epochs * 10, 3,
-                                            gather_dtype=bf16),
+                                                 infer=True, heads=1),
+        "gmm_cora_train": lambda: bench_gmm("cora", 1.0, epochs * 10, 3),
         "gmm_cora_infer": lambda: bench_gmm("cora", 1.0, epochs * 10, 3,
-                                            infer=True, gather_dtype=bf16),
-        "gmm_pubmed_train": lambda: bench_gmm("pubmed", 1.0, epochs * 5, 3,
-                                              gather_dtype=bf16),
+                                            infer=True),
+        "gmm_pubmed_train": lambda: bench_gmm("pubmed", 1.0, epochs * 5, 3),
         "gmm_pubmed_infer": lambda: bench_gmm("pubmed", 1.0, epochs * 5, 3,
-                                              infer=True, gather_dtype=bf16),
+                                              infer=True),
         "gmm_citeseer_train": lambda: bench_gmm("citeseer", 1.0,
-                                                epochs * 10, 3,
-                                                gather_dtype=bf16),
+                                                epochs * 10, 3),
         "gmm_citeseer_infer": lambda: bench_gmm("citeseer", 1.0, epochs * 10,
-                                                3, infer=True,
-                                                gather_dtype=bf16),
-        "gmm_reddit_train": lambda: bench_gmm("reddit", scale, 2, 2,
-                                              gather_dtype="bfloat16"),
+                                                3, infer=True),
+        "gmm_reddit_train": lambda: bench_gmm("reddit", scale, 2, 2),
         "gmm_reddit_infer": lambda: bench_gmm("reddit", scale, 2, 2,
-                                              infer=True,
-                                              gather_dtype="bfloat16"),
+                                              infer=True),
         "edgeconv_modelnet_train": lambda: bench_edgeconv(),
         "edgeconv_modelnet_infer": lambda: bench_edgeconv(infer=True),
     }

@@ -45,6 +45,15 @@ GATHER_BUDGET_BYTES = int(_os.environ.get("DGNN_TPU_GATHER_BUDGET_MB",
                                           "256")) * 1024 * 1024
 
 
+def gather_budget_bytes() -> int:
+    """Current chunk budget: env override wins over the import-time default
+    (lets a benchmark config trade a little scan overhead for peak HBM —
+    the gathered [W, chunk, C] blocks are the dominant temporaries at
+    Reddit scale)."""
+    mb = _os.environ.get("DGNN_TPU_GATHER_BUDGET_MB")
+    return int(mb) * 1024 * 1024 if mb else GATHER_BUDGET_BYTES
+
+
 def lane_mask(count: jax.Array, width: int) -> jax.Array:
     """[S] counts -> [S, width] bool validity mask."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
@@ -125,7 +134,7 @@ def chunk_rows_for_budget(width: int, elems_per_slot: int, itemsize: int = 4,
                           budget: int | None = None) -> int:
     """Segments per chunk so a [chunk, width, elems] gather fits the budget."""
     if budget is None:
-        budget = GATHER_BUDGET_BYTES
+        budget = gather_budget_bytes()
     rows = budget // max(1, width * elems_per_slot * itemsize)
     # floor of 1: very wide bins (unsplit hub rows, width up to 128K) must
     # shrink the chunk below 8 segments or a "chunk" alone exceeds the budget

@@ -44,10 +44,12 @@ from .pallas_dense import _PARAMS, _pair_base, _pair_u, _vma_of
 __all__ = ["bin_gat_fwd", "bin_gat_bwd", "bin_gmm_node_fwd",
            "bin_gmm_node_bwd", "PALLAS_MAX_W", "seg_block", "pad_segs"]
 
-# Bins wider than this stay on the XLA path.  The kernels fori_loop over
-# the width (compile time is W-independent), so this covers every width
-# auto_widths emits; the cap only guards pathological hand-built graphs.
-PALLAS_MAX_W = 512
+# Bins wider than this stay on the XLA path.  The fori_loop kernels compile
+# fast at any W, but a wide bin forces a tiny segment block (seg_block:
+# [512, 8, C]) whose 8-sublane ops + 512-iteration loop run far below the
+# XLA formulation — reddit train regressed 2.0x -> 1.34x with W=512 on the
+# fused path.  64 keeps blocks >= 60 segments.
+PALLAS_MAX_W = 64
 
 # Target VMEM bytes for one gathered block [W, Sb, C] (double-buffered by
 # the pipeline; the chip has 128MB, _PARAMS raises the scoped limit).
