@@ -112,17 +112,16 @@ _NO_PALLAS_BINS = _os.environ.get("DGNN_TPU_NO_PALLAS_BINS") == "1"
 
 
 def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
-                 seed, training, with_pos=True, gid=None, bound=None):
+                 seed, training, with_pos=True, gid=None):
     """Per-bin streaming pass: per-segment (max, sumexp, weighted acc) plus —
     when ``with_pos`` (training) — the sign-split partials (sum-exp and
     weighted acc restricted to edges with score >= 0) that make softmax
     backward's per-destination half node-local (see module docstring).
 
-    Two implementations with identical outputs up to the softmax stat m:
-    the fused Pallas kernel (pallas_bins.bin_gat_fwd; gather stays in XLA at
-    the rate-bound row rate, everything after it is one VMEM-resident pass
-    with m = the precomputed row bound) for widths <= PALLAS_MAX_W, and the
-    XLA formulation (exact per-segment maxima) for wide bins.
+    Two implementations with identical outputs: the fused Pallas kernel
+    (pallas_bins.bin_gat_fwd; gather stays in XLA at the rate-bound row
+    rate, everything after it is one exact two-phase VMEM-resident pass)
+    for widths <= PALLAS_MAX_W, and the XLA formulation for wide bins.
 
     ``gid`` (optional [num_src_ids] int32): translation from the adjacency's
     id space to GLOBAL node ids for the dropout hash — graph shards index
@@ -135,8 +134,7 @@ def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
 
     from .pallas_bins import PALLAS_MAX_W, bin_gat_fwd, pad_segs, seg_block
 
-    if width <= PALLAS_MAX_W and bound is not None and not _NO_PALLAS_BINS:
-        arb_tbl = jnp.concatenate([ar, bound], axis=1)  # [N, 2H]
+    if width <= PALLAS_MAX_W and not _NO_PALLAS_BINS:
         itemsize = jnp.dtype(xcat.dtype).itemsize
 
         def fn(nbr_c, row_c, count_c):
@@ -150,7 +148,7 @@ def _forward_bin(width, nbr, row, count, ar, ac, feat, xcat, slope, p,
                 cid_t = nbr_c.T if gid is None else gid[nbr_c.T]
                 drop = (p, seed, rid, cid_t)
             m, l, lp, acc, accp = bin_gat_fwd(
-                g_t, arb_tbl[row_c], count_c, H=H, F=F, slope=slope,
+                g_t, ar[row_c], count_c, H=H, F=F, slope=slope,
                 with_pos=with_pos, drop=drop, interpret=_interpret())
             acc = acc[:s_c].reshape(-1, H, F)
             if not with_pos:
@@ -238,17 +236,12 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
                  with_pos=True, dense_dtype="bfloat16", gid=None):
     n = adj.num_rows
     xcat = _concat_rows(feat, ac)
-    # exact per-row score bound for the fused bin kernels (see
-    # pallas_bins module docstring): leaky(ar_r + max over ALL source ac)
-    sb = ar + jnp.max(ac, axis=0)[None, :]
-    bound = jnp.maximum(sb, sb * slope)
     ms, ls, lps, accs, accps, rows = [], [], [], [], [], []
     for width, nbr, edge, row, count in adj.bins():
         m, l, lpos, acc, accpos = _forward_bin(width, nbr, row, count,
                                                ar, ac, feat, xcat, slope, p,
                                                seed, training,
-                                               with_pos=with_pos, gid=gid,
-                                               bound=bound)
+                                               with_pos=with_pos, gid=gid)
         ms.append(m)
         ls.append(l)
         lps.append(lpos)
@@ -275,18 +268,7 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
         parts = [l_all, acc_all]
         if has_pos:
             parts += [jnp.concatenate(lps), jnp.concatenate(accps)]
-        from .pallas_bins import PALLAS_MAX_W
-
-        if (adj.dense is None and not _NO_PALLAS_BINS
-                and all(w <= PALLAS_MAX_W for w in adj.widths)):
-            # every partial came from a bound-emitting bin kernel, so all of
-            # a row's segments share m = bound[row]: the LSE merge
-            # degenerates to a plain sum (scale == 1) with M = bound — no m
-            # column in the merge gather, no per-entry max/exp
-            merged = combine_sum(adj.cmb, parts)
-            M = bound
-        else:
-            M, merged = combine_lse(adj.cmb, jnp.concatenate(ms), parts)
+        M, merged = combine_lse(adj.cmb, jnp.concatenate(ms), parts)
         L = merged[0]
         Linv = 1.0 / jnp.maximum(L, 1e-20)
         out = merged[1] * Linv[..., None]

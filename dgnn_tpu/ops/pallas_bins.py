@@ -17,10 +17,11 @@ scalars never appear (everything is per-segment rows); there are no matmuls
 (the weighted accumulation is a [Sb, F] broadcast-madd per (w, h), bounded by
 the HBM read of the gathered block, not the VPU).
 
-Softmax uses the same EXACT precomputed bound as the dense hub kernel
-(ops/pallas_dense.py): bound_r = leaky(ar_r + max_all_c ac_c) >= every score
-of row r, so partials are plain sums of exp(s - bound) with m = bound feeding
-the log-sum-exp combine — no in-kernel max pass, no rescale chain.  Dropout
+Softmax is EXACT two-phase over the VMEM-resident block: a per-segment max
+pass then a normalized sum pass (m feeds the log-sum-exp combine).  An
+earlier bound-based variant (normalize by a precomputed global score bound,
+no max pass) underflowed once trained attention scores spread and collapsed
+accuracy — see _bin_gat_fwd_kernel.  Dropout
 re-derives pair_keep's stateless hash from the (dst, src, head) GLOBAL ids,
 bit-identical to the XLA path and the dense kernels.
 
@@ -143,11 +144,20 @@ def _expander(H, F):
     return (cols // F == rows).astype(jnp.float32)
 
 
-def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
+_NEGB = -1e30  # finite "-inf" for empty-segment maxima (exp(x-_NEGB) == 0)
+
+
+def _bin_gat_fwd_kernel(ar_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
                         with_pos, drop_p=0.0):
-    """One segment block: arb [Sb, 2H] = [ar | bound], cnt [Sb, 1], g
-    [W, Sb, C] gathered rows (C = HF + H, layout [x | ac]).  Outputs
-    m/l(/lpos) [Sb, H] and acc(/accpos) [Sb, HF]."""
+    """One segment block: ar [Sb, H], cnt [Sb, 1], g [W, Sb, C] gathered
+    rows (C = HF + H, layout [x | ac]).  Outputs m/l(/lpos) [Sb, H] and
+    acc(/accpos) [Sb, HF].
+
+    Two phases over the VMEM-resident block: an exact per-segment score max
+    (a precomputed global bound underflowed exp(s - bound) once TRAINED
+    attention scores spread — one outlier ac inflated every row's bound and
+    collapsed citeseer accuracy to 0.16), then the sum/accumulate phase
+    normalized by that max."""
     g_ref, rest = _f32_src(g_ref, rest)
     if drop_p > 0.0:
         rid_ref, cid_ref, seed_ref = rest[:3]
@@ -157,9 +167,7 @@ def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
     else:
         m_ref, l_ref, acc_ref = rest
     HF = H * F
-    ar = arb_ref[:, :H]
-    bnd = arb_ref[:, H:]
-    m_ref[:] = bnd  # every segment of a row shares the row bound
+    ar = ar_ref[:]
     acc_ref[:] = jnp.zeros_like(acc_ref)
     l_ref[:] = jnp.zeros_like(l_ref)
     if with_pos:
@@ -172,17 +180,28 @@ def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
         inv_keep = 1.0 / (1.0 - drop_p)
     E = _expander(H, F)
 
-    # fori_loop over slots, NOT a python unroll: the unrolled program's
-    # Mosaic compile time scales with W and exploded the bench wall
-    # (~200-600s per config).  All accumulators live in REFS, never the
-    # loop carry — a large carried value (measured with a [Sb, HF] carry)
-    # serializes the loop 2-6x.
+    # phase 1: exact per-segment max (cheap — slice/add/max per slot)
+    def mbody(w, m):
+        z = g_ref[w]
+        sr = ar + z[:, HF:]
+        s = jnp.maximum(sr, sr * slope)
+        return jnp.maximum(m, jnp.where(cnt_ref[:] > w, s, _NEGB))
+
+    m = jax.lax.fori_loop(
+        0, W, mbody, jnp.full(ar.shape, _NEGB, jnp.float32))
+    m_ref[:] = m
+
+    # phase 2 — fori_loop over slots, NOT a python unroll: the unrolled
+    # program's Mosaic compile time scales with W and exploded the bench
+    # wall (~200-600s per config).  All big accumulators live in REFS,
+    # never the loop carry — a large carried value (measured with a
+    # [Sb, HF] carry) serializes the loop 2-6x.
     def body(w, carry):
         z = g_ref[w]                           # [Sb, C] leading-dim slice
         sr = ar + z[:, HF:]                    # [Sb, H]
         s = jnp.maximum(sr, sr * slope)
         valid = cnt_ref[:] > w                 # [Sb, 1]
-        p = jnp.where(valid, jnp.exp(s - bnd), 0.0)
+        p = jnp.where(valid, jnp.exp(s - m), 0.0)
         l_ref[:] += p
         if drop_p > 0.0:
             base = _pair_base(seed_u, rid_u,
@@ -203,17 +222,18 @@ def _bin_gat_fwd_kernel(arb_ref, cnt_ref, g_ref, *rest, H, F, W, slope,
     jax.lax.fori_loop(0, W, body, 0)
 
 
-def bin_gat_fwd(g_t, arb, count, *, H: int, F: int, slope: float,
+def bin_gat_fwd(g_t, ar_seg, count, *, H: int, F: int, slope: float,
                 with_pos: bool, drop=None, interpret: bool = False):
     """Fused per-bin GAT forward over pre-gathered rows.
 
     Args:
       g_t: [W, S, C] gathered [x | ac] rows (C = H*F + H), any float dtype.
-      arb: [S, 2H] f32 — [attn_row | row score bound] per segment.
+      ar_seg: [S, H] f32 — attn_row per segment.
       count: [S] int32 valid-slot counts.
       drop: optional (p, seed, rid [S] i32 dst gids, cid_t [W, S] i32 src
         gids) for in-kernel stateless attention dropout.
-    Returns (m, l, lpos, acc, accpos) per segment — lpos/accpos are None
+    Returns (m, l, lpos, acc, accpos) per segment — m is the EXACT
+    per-segment score max (-1e30 for empty segments); lpos/accpos are None
     when not ``with_pos``.
     """
     W, S, C = g_t.shape
@@ -230,11 +250,11 @@ def bin_gat_fwd(g_t, arb, count, *, H: int, F: int, slope: float,
         return pl.BlockSpec((sb, w), lambda i: (i, 0))
 
     in_specs = [
-        seg_spec(2 * H),                                   # [ar | bound]
+        seg_spec(H),                                       # attn_row
         seg_spec(1),                                       # count
         pl.BlockSpec((W, sb, C), lambda i: (0, i, 0)),     # gathered rows
     ]
-    args = [arb, count.astype(jnp.int32).reshape(S, 1), g_t]
+    args = [ar_seg, count.astype(jnp.int32).reshape(S, 1), g_t]
     if drop is not None:
         _, seed, rid, cid_t = drop
         in_specs += [

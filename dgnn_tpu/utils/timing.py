@@ -106,19 +106,49 @@ def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
         if t - base >= min_signal or n >= max_epochs or over:
             # The tunnelled device is shared: single measurements carry
             # up-only multi-tenancy noise (observed 1.5x run-to-run on
-            # Reddit-scale steps).  Re-measure once and keep the MIN —
-            # the reference protocol's per-epoch average has the same
-            # purpose (train_gatconv.py:125-161).
-            if not over and (max_wall is None or spent + t <= max_wall):
+            # Reddit-scale steps AND sub-ms ones).  Re-measure up to 3
+            # more times and keep the MIN — noise is strictly additive,
+            # so the min is the machine number; stop early once a repeat
+            # lands within 5% of the current min.
+            for _ in range(3):
+                if over or (max_wall is not None and spent + t > max_wall):
+                    break
                 t2, out = run(n)
                 spent += t2
-                t = min(t, t2)
                 over = max_wall is not None and spent >= max_wall
+                if t2 >= t * 0.95:
+                    t = min(t, t2)
+                    break
+                t = t2
             if t - base >= min_signal or n >= max_epochs or over:
                 return max(t - base, 1e-9) / n, out[0]
             # the confirming run came in far below the first: the apparent
             # signal was dispatch jitter, not epochs — keep doubling
         n = min(2 * n, max_epochs)
+
+
+def run_epochs(step, carry, key, epochs: int, consts=None):
+    """Run EXACTLY ``epochs`` iterations of ``carry = step(carry, subkey[,
+    consts])`` device-resident and return the final carry.
+
+    The accuracy protocol must use this, NOT the carry that falls out of
+    time_epoch_loop: the measurement loop runs warmup + auto-scaled +
+    repeated epochs (often 5-20x the requested count), and with coupled
+    weight decay the over-trained parameters collapse (observed: citeseer
+    test accuracy 0.33 from the measurement carry vs 0.78 at the exact
+    epoch count)."""
+
+    def runner(state, n, cs):
+        def body(_, st):
+            c, k = st
+            k, sub = jax.random.split(k)
+            c = step(c, sub) if cs is None else step(c, sub, cs)
+            return c, k
+
+        return jax.lax.fori_loop(0, n, body, state)
+
+    out = jax.jit(runner)((carry, key), jnp.int32(epochs), consts)
+    return out[0]
 
 
 def time_op(fn, *args, min_signal: float = 0.2, max_wall: float = 30.0):
