@@ -127,7 +127,8 @@ def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
         n = min(2 * n, max_epochs)
 
 
-def run_epochs(step, carry, key, epochs: int, consts=None):
+def run_epochs(step, carry, key, epochs: int, consts=None,
+               per_dispatch: int | None = None):
     """Run EXACTLY ``epochs`` iterations of ``carry = step(carry, subkey[,
     consts])`` device-resident and return the final carry.
 
@@ -136,7 +137,11 @@ def run_epochs(step, carry, key, epochs: int, consts=None):
     repeated epochs (often 5-20x the requested count), and with coupled
     weight decay the over-trained parameters collapse (observed: citeseer
     test accuracy 0.33 from the measurement carry vs 0.78 at the exact
-    epoch count)."""
+    epoch count).
+
+    ``per_dispatch`` caps epochs per device call: one dispatch spanning
+    minutes (e.g. 20 ModelNet epochs at ~11 s each) exceeds the tunnelled
+    worker's tolerance and kills it."""
 
     def runner(state, n, cs):
         def body(_, st):
@@ -147,8 +152,16 @@ def run_epochs(step, carry, key, epochs: int, consts=None):
 
         return jax.lax.fori_loop(0, n, body, state)
 
-    out = jax.jit(runner)((carry, key), jnp.int32(epochs), consts)
-    return out[0]
+    jitted = jax.jit(runner)
+    state = (carry, key)
+    chunk = per_dispatch or epochs
+    done = 0
+    while done < epochs:
+        n = min(chunk, epochs - done)
+        state = jitted(state, jnp.int32(n), consts)
+        done += n
+    fetch_scalar(state[0])
+    return state[0]
 
 
 def time_op(fn, *args, min_signal: float = 0.2, max_wall: float = 30.0):

@@ -130,12 +130,14 @@ def main(args):
     carry = (params, batch_stats, opt_state, jnp.float32(0), jnp.float32(0))
     # timing on a throwaway carry; accuracy from EXACTLY num_epochs
     # (the measurement loop trains extra epochs — utils.run_epochs)
-    train_time, _ = time_epoch_loop(epoch_step, carry, key,
-                                    args.num_epochs, warmup=1,
+    # epochs=1 per measured dispatch: a single device call spanning many
+    # ~11s epochs (num_epochs at ModelNet scale) exceeds the tunnel's
+    # tolerance and kills the TPU worker; the loop auto-doubles if needed
+    train_time, _ = time_epoch_loop(epoch_step, carry, key, 1, warmup=1,
                                     min_signal=2.0,
                                     consts=(xtr_d, ytr_d))
     carry = run_epochs(epoch_step, carry, key, args.num_epochs,
-                       consts=(xtr_d, ytr_d))
+                       consts=(xtr_d, ytr_d), per_dispatch=1)
     params, batch_stats = carry[0], carry[1]
     max_mb = device_peak_memory_mb()
     if max_mb < 0:  # axon exposes no runtime stats: static executable analysis
