@@ -136,7 +136,10 @@ def _gat_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ar_ref, ac_ref, x_ref,
     if drop_p > 0.0:
         rid_ref, cid_ref, seed_ref = rest[:3]
         rest = rest[3:]
-    m_ref, l_ref, lp_ref, acc_ref, accp_ref = rest
+    if with_pos:
+        m_ref, l_ref, lp_ref, acc_ref, accp_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
     # NOTE per-COLUMN scalars (ac) arrive TRANSPOSED as [H, C] and are read
     # by ROW: building [1, Ct] lane vectors from column reads of a [Ct, H]
     # block sends the Mosaic layout search into the weeds (hours-long or
@@ -167,8 +170,8 @@ def _gat_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ar_ref, ac_ref, x_ref,
         m_ref[:] = ar_ref[:, H:]  # emit m = bound (see above)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        lp_ref[:] = jnp.zeros_like(lp_ref)
         if with_pos:
+            lp_ref[:] = jnp.zeros_like(lp_ref)
             accp_ref[:] = jnp.zeros_like(accp_ref)
 
     mneg = jnp.where(unpack_mask(mb_ref[0]) > 0, 0.0, NEG)  # [Rt, Ct]
@@ -183,7 +186,8 @@ def _gat_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ar_ref, ac_ref, x_ref,
                           rid_ref[...].astype(jnp.uint32),
                           cid_ref[...].astype(jnp.uint32))
         inv_keep = 1.0 / (1.0 - drop_p)
-    for h in range(H):
+    def make_p(h):
+        """(undropped ptile, dropped ptile) for head h."""
         ar_h = ar_ref[:, h][:, None]      # [Rt, 1]
         bnd_h = ar_ref[:, H + h][:, None]  # [Rt, 1] per-row score bound
         ac_h = ac_ref[h, :][None, :]      # [1, Ct] (row read of [H, C])
@@ -192,11 +196,13 @@ def _gat_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ar_ref, ac_ref, x_ref,
         ptile = jnp.exp(s - bnd_h)  # [Rt, Ct]; 0 on masked slots
         if drop_p > 0.0:
             keep = _pair_u(base, h, H) > drop_p
-            pd = jnp.where(keep, ptile * inv_keep, 0.0)
-        else:
-            pd = ptile
-        x_h = x_ref[:, h * Fa:(h + 1) * Fa].astype(mat_dtype)  # [Ct, F+1]
-        if with_pos:
+            return s_raw, ptile, jnp.where(keep, ptile * inv_keep, 0.0)
+        return s_raw, ptile, ptile
+
+    if with_pos:
+        for h in range(H):
+            s_raw, ptile, pd = make_p(h)
+            x_h = x_ref[:, h * Fa:(h + 1) * Fa].astype(mat_dtype)
             # ONE [2Rt, Ct] @ [Ct, F+1] matmul for both accumulators AND
             # both row sums (fewer, deeper MXU issues pipeline better)
             both = jnp.concatenate([pd, jnp.where(s_raw >= 0, pd, 0.0)],
@@ -211,14 +217,43 @@ def _gat_fwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ar_ref, ac_ref, x_ref,
             else:
                 l_ref[:, h] += upd[:rt, F]
                 lp_ref[:, h] += upd[rt:, F]
-        else:
-            upd = jax.lax.dot(pd.astype(mat_dtype), x_h,
-                              preferred_element_type=jnp.float32)
-            acc_ref[:, h * F:(h + 1) * F] += upd[:, :F]
-            if drop_p > 0.0:
-                l_ref[:, h] += jnp.sum(ptile, axis=1)
+    else:
+        # Inference: no sign-split partner to deepen the matmul with, and a
+        # lone [Rt, Ct] @ [Ct, F+1] issue measured ~1.5x SLOWER end-to-end
+        # than the train kernel's stacked [2Rt, ...] form (shallow MXU
+        # pipeline).  Pair HEADS instead: [2Rt, Ct] of (h, h+1) against
+        # their contiguous [Ct, 2(F+1)] feature block — the off-diagonal
+        # quarter of the product is discarded (the same 2x MAC overhead the
+        # train trick pays) but the issue depth matches training.
+        h = 0
+        while h < H:
+            if h + 1 < H:
+                _, p0, d0 = make_p(h)
+                _, p1, d1 = make_p(h + 1)
+                both = jnp.concatenate([d0, d1], axis=0).astype(mat_dtype)
+                x2 = x_ref[:, h * Fa:(h + 2) * Fa].astype(mat_dtype)
+                upd = jax.lax.dot(both, x2,
+                                  preferred_element_type=jnp.float32)
+                acc_ref[:, h * F:(h + 1) * F] += upd[:rt, :F]
+                acc_ref[:, (h + 1) * F:(h + 2) * F] += upd[rt:, Fa:Fa + F]
+                if drop_p > 0.0:
+                    l_ref[:, h] += jnp.sum(p0, axis=1)
+                    l_ref[:, h + 1] += jnp.sum(p1, axis=1)
+                else:
+                    l_ref[:, h] += upd[:rt, F]
+                    l_ref[:, h + 1] += upd[rt:, Fa + F]
+                h += 2
             else:
-                l_ref[:, h] += upd[:, F]
+                _, p0, d0 = make_p(h)
+                x_h = x_ref[:, h * Fa:(h + 1) * Fa].astype(mat_dtype)
+                upd = jax.lax.dot(d0.astype(mat_dtype), x_h,
+                                  preferred_element_type=jnp.float32)
+                acc_ref[:, h * F:(h + 1) * F] += upd[:, :F]
+                if drop_p > 0.0:
+                    l_ref[:, h] += jnp.sum(p0, axis=1)
+                else:
+                    l_ref[:, h] += upd[:, F]
+                h += 1
 
 
 def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
@@ -237,7 +272,9 @@ def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
         (reference analogue: fused_gatconv_kernel.cu:95-104).
     Returns (m, l, lpos, acc, accpos): [R, H] stats and [R, H*F] weighted
     sums — the same per-segment partial tuple the binned path produces, fed
-    into the log-sum-exp combine.  accpos is zeros when not ``with_pos``.
+    into the log-sum-exp combine.  lpos/accpos are None when not
+    ``with_pos`` (the inference kernel emits only 3 outputs and pairs heads
+    into deeper MXU issues; see the kernel comment).
     """
     R, H = ar_d.shape
     C = ac_d.shape[0]
@@ -264,13 +301,20 @@ def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
         return pl.BlockSpec((Rt, w), lambda t, rc, ct, fi, mt: (rc[t], 0))
 
     vma = _vma_of(ar_d, ac_d, x_d, mask)
-    out_shape = [
-        jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # m
-        jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # l
-        jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # lpos
-        jax.ShapeDtypeStruct((R, HF), jnp.float32, vma=vma),  # acc
-        jax.ShapeDtypeStruct((R, HF), jnp.float32, vma=vma),  # accpos
-    ]
+    if with_pos:
+        out_shape = [
+            jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # m
+            jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # l
+            jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # lpos
+            jax.ShapeDtypeStruct((R, HF), jnp.float32, vma=vma),  # acc
+            jax.ShapeDtypeStruct((R, HF), jnp.float32, vma=vma),  # accpos
+        ]
+    else:
+        out_shape = [
+            jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # m
+            jax.ShapeDtypeStruct((R, H), jnp.float32, vma=vma),   # l
+            jax.ShapeDtypeStruct((R, HF), jnp.float32, vma=vma),  # acc
+        ]
     in_specs = [
         row_spec(2 * H),                                    # [ar | bound]
         pl.BlockSpec((H, Ct), lambda t, rc, ct, fi, mt: (0, ct[t])),
@@ -290,17 +334,23 @@ def dense_gat_fwd(db, ar_d, ac_d, x_d, *, slope: float,
         args += [rid.astype(jnp.int32).reshape(R, 1),
                  cid.astype(jnp.int32).reshape(1, C),
                  seed.astype(jnp.uint32).reshape(1)]
+    out_specs = ([row_spec(H), row_spec(H), row_spec(H), row_spec(HF),
+                  row_spec(HF)] if with_pos
+                 else [row_spec(H), row_spec(H), row_spec(HF)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
         in_specs=in_specs,
-        out_specs=[row_spec(H), row_spec(H), row_spec(H), row_spec(HF),
-                   row_spec(HF)],
+        out_specs=out_specs,
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         compiler_params=_PARAMS, interpret=interpret,
     )(*args)
+    if with_pos:
+        return outs
+    m, l, acc = outs
+    return m, l, None, acc, None
 
 
 def _gat_bwd_kernel(rc_ref, ct_ref, fi_ref, mt_ref, ac_ref, x_ref, g_ref,
