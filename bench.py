@@ -124,7 +124,8 @@ def _citation_graph_uncached(name, scale=1.0):
         n, e = int(n_full * scale), int(e_full * scale)
         os.makedirs(CACHE_DIR, exist_ok=True)
         # cache key: binning/dense-format version (d6: merge-aware
-        # auto_widths + epos slot table)
+        # auto_widths + epos slot table; kept in round 5 -- the re-planned
+        # d7 decomposition measured strictly worse, see graph/hub.py)
         path = os.path.join(CACHE_DIR, f"rmat_graph_{n}_{e}_d6.npz")
         if os.path.exists(path):
             g = gcache.load_graph(path)
@@ -394,9 +395,6 @@ GROUPS = [
 
 
 def _runners(scale, epochs):
-    # reddit GAT runs gather_dtype=bfloat16: gradient-parity-tested
-    # (tests/test_cache_and_misc.py) and halves the gathered-row bytes —
-    # dgNN's reddit peak is 8283MB (gat_result.csv:10), ours must beat it.
     # f32 gathers everywhere: bf16 gathered blocks measured SLOWER through
     # the bin kernels (the scratch conversion pass eats the bandwidth win;
     # gmm_pubmed_train 0.59x bf16 vs 1.69x f32).  Reddit's peak-memory win

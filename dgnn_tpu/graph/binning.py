@@ -32,10 +32,11 @@ DEFAULT_WIDTHS = (8, 32, 128, 512)
 _WIDTH_CANDIDATES = tuple(sorted(
     [2 ** k for k in range(2, 18)] + [3 * 2 ** k for k in range(2, 16)]))
 
-# An extra bin costs ~60us of op overhead per pass (measured on small
-# graphs), i.e. ~4096 gather-slots at the ~140M rows/s rate wall — an extra
+# An extra bin costs ~50us of fixed overhead per pass (round-5 trace:
+# ~30us kernel fixed + ~10us gather fixed + ~10us pad/select fusions),
+# i.e. ~12K gather-slots at the ~220M rows/s production rate — an extra
 # bin must save at least that much padding to pay for itself.
-_BIN_PENALTY_SLOTS = 4096
+_BIN_PENALTY_SLOTS = 12288
 
 
 def auto_widths(deg, max_bins: int = 8, candidates=_WIDTH_CANDIDATES,

@@ -38,16 +38,24 @@ __all__ = ["DensePlan", "plan_dense", "build_dense_numpy", "DENSE_RT",
 # Row-chunk granularity of the kernels; R is padded to a multiple.
 DENSE_RT = 256
 
-# Measured machine constants (scripts/microbench_dense.py on v5e):
-# the bound-based fwd kernel measures 7.1e10 masked pairs/s at H=4, F=64
-# incl. the sign-split aggregation matmuls (bwd 6.7e10, H=1 higher).
-# GATHER_ROWS_PER_S is the EFFECTIVE slot rate of the production binned
-# residual pass (gather + online softmax + aggregation einsum compound),
-# measured end-to-end via scripts/profile_reddit_gat.py at two plan
-# sizes: (203.4-54.1)ms for 6.3M slots and (154.4-67.9)ms for 4.0M —
-# both ~45e6 slots/s.  A bare fused gather does ~140e6 rows/s
-# (microbench_gather.py) — planning with that number under-weights the
-# residual ~3x and strands profitable tiles on the gather path.
+# Planner constants.  These are EMPIRICAL, not the bare primitive rates:
+# round 5 re-measured the machine (dense kernels ~49e9 pairs/s; small-table
+# fused bin passes 180-340M slots/s compound) and re-planned reddit with
+# (48e9, 220e6) — break-even ~1700 edges/tile, dense hub 4238 tiles instead
+# of 11341 — and the result measured STRICTLY WORSE, paired in one window
+# (train 0.48-0.69s vs 0.28-0.49s, infer 0.35 vs 0.23s).  Two reasons the
+# aggressive-gather plan loses at Reddit scale:
+#   1. Residual gathers there hit the BIG-table rate (~104-124M rows/s at
+#      242MB tables), not the 220-450M small-table rate.
+#   2. A smaller hub returns mid-degree rows (deg 64-2000) to the bins,
+#      whose widths then exceed pallas_bins.PALLAS_MAX_W — those bins fall
+#      off the fused-kernel path onto the ~45M slots/s XLA formulation
+#      (the d7 experiment put 4.6M of 9.5M residual slots there).
+# The low gather figure keeps the hub big enough that every residual bin
+# stays on the fused path (reddit residual dmax 64).  Small graphs are
+# insensitive: their plans saturate at "every profitable tile kept" well
+# before the ratio matters (cora keeps its 10-tile hub at either setting,
+# measured faster WITH it: 0.96 vs 1.20 ms paired).
 DENSE_PAIRS_PER_S = 6.5e10
 GATHER_ROWS_PER_S = 45e6
 # Estimated padding overhead of the binned path on residual edges.

@@ -134,6 +134,8 @@ def from_binned(b: _binning.BinnedCSR, with_cmb: bool = True,
             pos = off + np.arange(s * w, dtype=np.int64).reshape(s, w)
             ep[e_t[m]] = pos[m]
             off += s * w
+        assert off <= np.iinfo(np.int32).max, (
+            f"padded slot count {off} overflows the int32 epos table")
         epos = jnp.asarray(ep, jnp.int32)
     if dense is not None:
         rc_h, ct_h, first_h, mt_h = dense.half_schedule()

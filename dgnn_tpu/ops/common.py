@@ -36,6 +36,19 @@ __all__ = [
 
 NEG_INF = float("-inf")
 
+# Empty-segment sentinel threshold: the Pallas bin kernels emit a FINITE
+# -1e30 for empty segments (jnp scalars inside kernels become captured
+# consts; -inf breaks the fori_loop max identity), so "is empty" guards
+# must treat anything at or below this as empty, not just -inf.  Real
+# score maxima are sums of finite attention logits and can never reach it.
+EMPTY_M = -1e29
+
+
+def is_empty_m(m):
+    """True where a per-segment max marks an empty segment (-inf or the
+    bin kernels' finite -1e30 sentinel)."""
+    return m <= EMPTY_M
+
 # Default per-chunk gather budget (bytes) for neighbor-feature tiles.
 # Larger budgets mean fewer scan iterations over wide bins (per-iteration
 # overhead) at the cost of peak HBM; override via DGNN_TPU_GATHER_BUDGET_MB.
@@ -227,8 +240,8 @@ def _merge_lse(tbl, zcat, H, widths):
     g = zcat[jnp.maximum(tbl, 0)]  # [R, K, H + sum(widths)]
     m_g = jnp.where(mask[..., None], g[..., :H], NEG_INF)  # [R, K, H]
     M = jnp.max(m_g, axis=1)  # [R, H]
-    M0 = jnp.where(jnp.isneginf(M), 0.0, M)
-    scale = jnp.where(jnp.isneginf(m_g), 0.0, jnp.exp(m_g - M0[:, None, :]))
+    M0 = jnp.where(is_empty_m(M), 0.0, M)
+    scale = jnp.where(is_empty_m(m_g), 0.0, jnp.exp(m_g - M0[:, None, :]))
     outs, off = [], H
     for w in widths:
         blk = g[..., off:off + w]

@@ -281,8 +281,9 @@ def _gat_forward(adj: BinnedAdj, ar, ac, feat, slope, p, seed, training,
 
     row_all = jnp.concatenate(rows)
     M = jax.ops.segment_max(m_all, row_all, num_segments=n)  # [N, H]
-    M = jnp.where(jnp.isneginf(M), 0.0, M)
-    scale = jnp.where(jnp.isneginf(m_all), 0.0, jnp.exp(m_all - M[row_all]))
+    from .common import is_empty_m
+    M = jnp.where(is_empty_m(M), 0.0, M)
+    scale = jnp.where(is_empty_m(m_all), 0.0, jnp.exp(m_all - M[row_all]))
     L = _segment_sum(l_all * scale, row_all, n)  # [N, H]
     Linv = 1.0 / jnp.maximum(L, 1e-20)
     out = _segment_sum(acc_all * scale[..., None], row_all, n)

@@ -33,8 +33,9 @@ def test_forward_matches_dense(rng, power_law):
 
 def test_forward_stats_match_dense(rng):
     """The softmax stats (M, L) need not match the oracle's (max, sumexp)
-    pointwise — the fused bin kernels emit M = the precomputed row BOUND
-    (pallas_bins module docstring) — but the invariant quantity
+    pointwise — the DENSE HUB kernels emit M = a precomputed row BOUND
+    (pallas_dense._gat_fwd_kernel; the bin kernels compute the exact
+    per-segment max since round 4) — but the invariant quantity
     M + log(L) = logsumexp(scores) must be exact, and the backward's
     recomputed weights exp(s - M) / L are exact under any valid bound."""
     g, ar, ac, feat, adj = _setup(rng)
