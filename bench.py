@@ -395,10 +395,14 @@ GROUPS = [
 
 
 def _runners(scale, epochs):
-    # f32 gathers everywhere: bf16 gathered blocks measured SLOWER through
-    # the bin kernels (the scratch conversion pass eats the bandwidth win;
-    # gmm_pubmed_train 0.59x bf16 vs 1.69x f32).  Reddit's peak-memory win
-    # comes from a smaller gather chunk budget instead (_reddit_env).
+    # Gather dtype by TABLE SIZE (round-5 paired measurements): bf16 on the
+    # small graphs measured SLOWER through the bin kernels (the scratch
+    # conversion pass eats the bandwidth win; gmm_pubmed_train 0.59x bf16
+    # vs 1.69x f32 — their ~20MB tables already gather at the fast
+    # small-table rate), but at REDDIT scale the f32 tables are 242MB and
+    # bf16 measured strictly faster paired (infer 0.228 -> 0.196 s, train
+    # 0.485 -> 0.470 s) plus the peak-memory win.
+    bf16 = "bfloat16"
     return {
         "gat_cora_train": lambda: bench_gat("cora", 1.0, epochs * 10),
         "gat_cora_infer": lambda: bench_gat("cora", 1.0, epochs * 10,
@@ -409,11 +413,15 @@ def _runners(scale, epochs):
         "gat_citeseer_train": lambda: bench_gat("citeseer", 1.0, epochs * 10),
         "gat_citeseer_infer": lambda: bench_gat("citeseer", 1.0, epochs * 10,
                                                 infer=True),
-        "gat_reddit_train": lambda: bench_gat("reddit", scale, 2),
-        "gat_reddit_infer": lambda: bench_gat("reddit", scale, 2, infer=True),
-        "gat_reddit_h1_train": lambda: bench_gat("reddit", scale, 2, heads=1),
+        "gat_reddit_train": lambda: bench_gat("reddit", scale, 2,
+                                              gather_dtype=bf16),
+        "gat_reddit_infer": lambda: bench_gat("reddit", scale, 2, infer=True,
+                                              gather_dtype=bf16),
+        "gat_reddit_h1_train": lambda: bench_gat("reddit", scale, 2, heads=1,
+                                                 gather_dtype=bf16),
         "gat_reddit_h1_infer": lambda: bench_gat("reddit", scale, 2,
-                                                 infer=True, heads=1),
+                                                 infer=True, heads=1,
+                                                 gather_dtype=bf16),
         "gmm_cora_train": lambda: bench_gmm("cora", 1.0, epochs * 10, 3),
         "gmm_cora_infer": lambda: bench_gmm("cora", 1.0, epochs * 10, 3,
                                             infer=True),
@@ -424,9 +432,10 @@ def _runners(scale, epochs):
                                                 epochs * 10, 3),
         "gmm_citeseer_infer": lambda: bench_gmm("citeseer", 1.0, epochs * 10,
                                                 3, infer=True),
-        "gmm_reddit_train": lambda: bench_gmm("reddit", scale, 2, 2),
+        "gmm_reddit_train": lambda: bench_gmm("reddit", scale, 2, 2,
+                                              gather_dtype=bf16),
         "gmm_reddit_infer": lambda: bench_gmm("reddit", scale, 2, 2,
-                                              infer=True),
+                                              infer=True, gather_dtype=bf16),
         "edgeconv_modelnet_train": lambda: bench_edgeconv(),
         "edgeconv_modelnet_infer": lambda: bench_edgeconv(infer=True),
     }

@@ -104,22 +104,30 @@ def time_epoch_loop(step, carry, key, epochs: int, warmup: int = 3,
         spent += t
         over = max_wall is not None and spent >= max_wall
         if t - base >= min_signal or n >= max_epochs or over:
-            # The tunnelled device is shared: single measurements carry
-            # up-only multi-tenancy noise (observed 1.5x run-to-run on
-            # Reddit-scale steps AND sub-ms ones).  Re-measure up to 3
-            # more times and keep the MIN — noise is strictly additive,
-            # so the min is the machine number; stop early once a repeat
-            # lands within 5% of the current min.
-            for _ in range(3):
-                if over or (max_wall is not None and spent + t > max_wall):
+            # The tunnelled device is shared and multi-tenancy throughput
+            # DRIFTS ~2x on a minutes timescale (docs/PERF_NOTES.md round-5
+            # re-profile), with noise strictly up-only.  Keep the MIN over
+            # repeated runs — the machine number — repeating until two
+            # runs land within 3% of the best (confirmed floor) or up to
+            # 7 repeats / the wall budget.  Cheap configs afford many
+            # repeats; expensive ones are bounded by max_wall as before.
+            best = t
+            confirms = 0
+            for _ in range(7):
+                if over or (max_wall is not None and spent + best > max_wall):
                     break
                 t2, out = run(n)
                 spent += t2
                 over = max_wall is not None and spent >= max_wall
-                if t2 >= t * 0.95:
-                    t = min(t, t2)
-                    break
-                t = t2
+                if t2 < best * 0.97:
+                    best = t2       # new floor found: require re-confirmation
+                    confirms = 0
+                elif t2 <= best * 1.03:
+                    confirms += 1   # repeat within 3% of the floor
+                    best = min(best, t2)
+                    if confirms >= 2:
+                        break
+            t = best
             if t - base >= min_signal or n >= max_epochs or over:
                 return max(t - base, 1e-9) / n, out[0]
             # the confirming run came in far below the first: the apparent
