@@ -78,24 +78,53 @@ def step_time(n_devices, src, dst, n, feat_np, labels_np, reps=5):
     return (time.perf_counter() - t0) / reps
 
 
+def _graph(rng, n, deg, locality):
+    """Edge list with a fraction ``locality`` of edges within a +-n/64 id
+    window (what a locality-aware partition of a community graph looks
+    like: range-chunk shards cut few windowed edges) and the rest uniform
+    (the worst case: every edge crosses shards)."""
+    e = deg * n
+    n_loc = int(e * locality)
+    src = rng.integers(0, n, e)
+    off = rng.integers(-n // 64, n // 64 + 1, n_loc)
+    dst = np.concatenate([
+        (src[:n_loc] + off) % n,
+        rng.integers(0, n, e - n_loc),
+    ])
+    return src, dst
+
+
 def main():
+    """All P virtual devices share this host's ONE physical core, so
+    T(P) measures the TOTAL WORK of the P-shard formulation, not its
+    latency — the meaningful number is work_ratio = T(P)/T(1): the
+    sharding overhead (halo double-processing + padding) that real
+    multi-chip efficiency is bounded by (eff <= 1 / work_ratio for the
+    compute side; comm is modeled separately from the halo-bytes plan,
+    scripts/scaling_report.py)."""
     rng = np.random.default_rng(0)
     n, deg = 16384, 16
-    src = rng.integers(0, n, deg * n)
-    dst = rng.integers(0, n, deg * n)
     feat = rng.normal(size=(n, 64)).astype(np.float32)
     labels = rng.integers(0, 7, n).astype(np.int32)
 
     out = {"nodes": n, "edges": int(deg * n), "host_devices": 8,
-           "note": "virtual CPU mesh; RELATIVE scaling only", "steps": {}}
-    t1 = None
-    for p in (1, 2, 4, 8):
-        t = step_time(p, src, dst, n, feat, labels)
-        t1 = t1 or t
-        out["steps"][str(p)] = {"seconds": t, "speedup_vs_1": t1 / t,
-                                "efficiency": t1 / t / p}
-        print(f"P={p}: {t*1e3:.1f} ms/step, speedup {t1/t:.2f}x, "
-              f"efficiency {t1/t/p:.2f}", flush=True)
+           "note": ("virtual CPU mesh on ONE physical core: T(P) ~ total "
+                    "work; work_ratio = T(P)/T(1) bounds real-chip "
+                    "efficiency at 1/work_ratio (compute side)"),
+           "cases": {}}
+    for tag, locality in (("local90", 0.9), ("uniform_worstcase", 0.0)):
+        src, dst = _graph(rng, n, deg, locality)
+        case = {}
+        t1 = None
+        for p in (1, 2, 4, 8):
+            t = step_time(p, src, dst, n, feat, labels)
+            t1 = t1 or t
+            wr = t / t1
+            case[str(p)] = {"seconds": t, "work_ratio": wr,
+                            "compute_efficiency_bound": 1.0 / wr}
+            print(f"[{tag}] P={p}: {t*1e3:.1f} ms/step, work_ratio "
+                  f"{wr:.2f}, compute-eff bound {1/wr:.2f}", flush=True)
+        out["cases"][tag] = case
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "cpu_mesh_scaling.json")
     with open(path, "w") as f:

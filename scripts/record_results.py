@@ -46,6 +46,9 @@ def main():
         run("train_gmm.py", "--dataset", ds, "--n-epochs", "200",
             "--n-hidden", "64", "--n-kernels", "3", "--pseudo-dim", "2",
             "--seed", "1")
+    run("train_gmm.py", "--dataset", "reddit", "--n-epochs", "120",
+        "--n-hidden", "64", "--n-kernels", "2", "--pseudo-dim", "2",
+        "--seed", "1")
     epochs = os.environ.get("EDGECONV_EPOCHS", "20")
     run("train_edgeconv.py", "--num-epochs", epochs, "--batch-size", "64",
         "--k", "40", "--train-samples", "9840", "--test-samples", "2468")

@@ -34,18 +34,50 @@ def edge_pseudo(graph):
 
 
 def main(args):
-    data = load_citation_dataset(args.dataset, seed=args.seed)
-    graph = build_graph(data.src, data.dst, data.num_nodes)
-    features = jnp.asarray(data.features)
-    labels = jnp.asarray(data.labels)
-    train_mask = jnp.asarray(data.train_mask)
-    test_mask = jnp.asarray(data.test_mask)
-    # pre-bin the static pseudo-coords once (2-pass fused path, ops/gmm.py)
-    pseudo = bin_pseudo(graph, edge_pseudo(graph))
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache")
+    from dgnn_tpu.data.synthetic import CITATION_SHAPES
+    n_ds, e_ds, f_ds, c_ds = CITATION_SHAPES.get(args.dataset, (0,) * 4)
+    cache_path = os.path.join(cache_dir, f"rmat_graph_{n_ds}_{e_ds}_d6.npz")
+    raw_path = os.path.join(cache_dir, f"rmat_raw_{n_ds}_{e_ds}.npz")
+    if (args.dataset == "reddit" and os.path.exists(cache_path)
+            and os.path.exists(raw_path)):
+        # Reddit protocol (mirrors train_gat.py): the bench's cached R-MAT
+        # graph with labels/features derived FROM ITS OWN EDGES, and the
+        # NODE-pseudo formulation (pseudo = 1/sqrt(deg) per endpoint,
+        # derived in-pass — the dense-hub MXU path; the edge-table path
+        # would forgo the hub at 114M-edge scale).
+        os.environ.setdefault("DGNN_TPU_GATHER_BUDGET_MB", "128")
+        from dgnn_tpu.data.synthetic import structure_task_from_csr
+        from dgnn_tpu.graph import cache as gcache
+        from dgnn_tpu.ops.gmm import NodePseudo
+        graph = gcache.load_graph(cache_path)
+        z = np.load(raw_path)
+        feats, lab, tr, _va, te = structure_task_from_csr(
+            z["row_ptr"], z["col_ind"], c_ds, f_ds, seed=args.seed)
+        features, labels = jnp.asarray(feats), jnp.asarray(lab)
+        train_mask, test_mask = jnp.asarray(tr), jnp.asarray(te)
+        n_classes = c_ds
+        deg = jnp.maximum(graph.in_degrees().astype(jnp.float32), 1.0)
+        rsq = jax.lax.rsqrt(deg)[:, None]
+        pseudo = NodePseudo(src=rsq, dst=rsq)
+        graph = graph.slim()
+    else:
+        data = load_citation_dataset(args.dataset, seed=args.seed)
+        graph = build_graph(data.src, data.dst, data.num_nodes)
+        features = jnp.asarray(data.features)
+        labels = jnp.asarray(data.labels)
+        train_mask = jnp.asarray(data.train_mask)
+        test_mask = jnp.asarray(data.test_mask)
+        n_classes = data.n_classes
+        # pre-bin the static pseudo-coords once (2-pass fused, ops/gmm.py)
+        pseudo = bin_pseudo(graph, edge_pseudo(graph))
 
-    model = MoNet(n_hidden=args.n_hidden, out_feats=data.n_classes,
+    model = MoNet(n_hidden=args.n_hidden, out_feats=n_classes,
                   n_layers=args.n_layers, dim=args.pseudo_dim,
-                  n_kernels=args.n_kernels, dropout=args.dropout)
+                  n_kernels=args.n_kernels, dropout=args.dropout,
+                  gather_dtype="bfloat16" if args.dataset == "reddit"
+                  else None)
     key = jax.random.PRNGKey(args.seed)
     params = jax.jit(model.init)(key, graph, features, pseudo)
     tx = optax.chain(optax.add_decayed_weights(args.weight_decay),
