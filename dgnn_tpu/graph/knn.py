@@ -38,7 +38,7 @@ def knn_graph(x: jax.Array, k: int) -> jax.Array:
 
 def knn_mask_neg(x: jax.Array, k: int, *, neg: float = -1e30,
                  exact: bool = False, bisect_iters: int = 8,
-                 dtype=jnp.bfloat16) -> jax.Array:
+                 refine_iters: int = 5, dtype=jnp.bfloat16) -> jax.Array:
     """Dense k-NN adjacency as an additive max-mask (TPU-native form).
 
     Returns [B, P, P] ``dtype`` (bfloat16 default — the mask is {0, neg}
@@ -50,12 +50,18 @@ def knn_mask_neg(x: jax.Array, k: int, *, neg: float = -1e30,
     dense compute (see ops/edgeconv.py).
 
     The per-row k-th-distance threshold is found by value bisection
-    (bandwidth-bound: ~iters passes over [B,P,P], 4x faster than
-    lax.top_k/approx_max_k at P=1024).  Membership is by threshold, so the
-    row may admit slightly more than k neighbors — exact distance ties, or
-    rows where the bisection interval still holds a few points (after
-    ``bisect_iters`` halvings the interval is ~max_dist/2^iters wide;
-    measure-zero for real point clouds).  ``exact=True`` uses lax.top_k.
+    (bandwidth-bound: ~iters passes over [B,P,P], ~4x faster than
+    lax.top_k/approx_max_k at P=1024): ``bisect_iters`` cheap passes over
+    a bfloat16 copy of d2 narrow the interval, then ``refine_iters``
+    full-precision passes tighten it, and the final membership compare is
+    f32.  Membership is by threshold, so a row can admit slightly MORE
+    than k neighbors (points inside the remaining interval, and exact
+    ties).  Measured drift on benchmark-shaped clouds (P=1024, k=40,
+    tests/test_cache_and_misc.py::test_knn_bisect_drift_on_modelnet_...):
+    ~1 extra admission per row mean at the defaults — down from ~22 when
+    both the bisection AND the final compare were bf16 (bf16 quantization
+    groups many near-threshold distances; round-4's "measure-zero" claim
+    was wrong on real clouds).  ``exact=True`` uses lax.top_k.
     """
     sq = jnp.sum(x * x, axis=-1)  # [B, P]
     inner = jnp.einsum("bpd,bqd->bpq", x, x, preferred_element_type=jnp.float32)
@@ -64,28 +70,33 @@ def knn_mask_neg(x: jax.Array, k: int, *, neg: float = -1e30,
         kth, _ = jax.lax.top_k(-d2, k)  # [B, P, k] negated, descending
         thresh = -kth[..., -1]  # [B, P] k-th smallest distance
         return jnp.where(d2 <= thresh[..., None], 0.0, neg).astype(dtype)
-    # Bisection runs over a bf16 copy of d2: each count pass is
-    # bandwidth-bound on re-reading d2 ([B,P,P] = 268 MB f32 at ModelNet
-    # scale), so halving it halves the dominant cost (measured ~2x,
-    # scripts/microbench_ec2.py).  bf16 rounding is monotonic, so membership
-    # stays a superset of the true k-NN set: points distinct in f32 but equal
-    # in bf16 are admitted together (same >k-admission semantics as the
-    # interval slack below).
     d2b = d2.astype(jnp.bfloat16)
     lo = jnp.min(d2, axis=-1)  # [B, P] (<= kth distance)
     hi = jnp.max(d2, axis=-1)  # [B, P] (>= kth distance)
 
-    def body(_, loh):
+    def body_b16(_, loh):
         lo, hi = loh
         mid = 0.5 * (lo + hi)
         cnt = jnp.sum(d2b <= mid[..., None].astype(jnp.bfloat16), axis=-1)
         small = cnt < k
         return jnp.where(small, mid, lo), jnp.where(small, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(0, bisect_iters, body, (lo, hi))
-    thresh = hi  # invariant: count(d2b <= bf16(hi)) >= k
-    # bfloat16 mask default: the mask is re-read by every F-chunk of the
-    # conv's forward and backward and its values are only {0, neg} — half
-    # the streaming traffic for free
-    return jnp.where(d2b <= thresh[..., None].astype(jnp.bfloat16), 0.0,
-                     neg).astype(dtype)
+    def body_f32(_, loh):
+        lo, hi = loh
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(d2 <= mid[..., None], axis=-1)
+        small = cnt < k
+        return jnp.where(small, mid, lo), jnp.where(small, hi, mid)
+
+    # bf16 counting passes halve the dominant [B,P,P] re-read; the bf16
+    # threshold stays a SUPERSET bound (monotonic rounding).  The f32
+    # refinement + f32 final compare remove the bf16 tie-group admissions.
+    lo, hi = jax.lax.fori_loop(0, bisect_iters, body_b16, (lo, hi))
+    # widen by one bf16 ulp before refining in f32: the bf16-counted hi can
+    # sit one rounding step below the true k-th distance, and the f32
+    # bisection preserves count(d2 <= hi) >= k only if it starts true
+    ulp = jnp.abs(hi) * jnp.float32(2.0 ** -7) + jnp.float32(1e-12)
+    lo, hi = lo - ulp, hi + ulp
+    lo, hi = jax.lax.fori_loop(0, refine_iters, body_f32, (lo, hi))
+    thresh = hi  # invariant: count(d2 <= hi) >= k
+    return jnp.where(d2 <= thresh[..., None], 0.0, neg).astype(dtype)
