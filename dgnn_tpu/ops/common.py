@@ -193,10 +193,21 @@ def scan_chunked(fn, args, num_rows: int, chunk: int, accum_init):
 
 
 def _merge_sum(tbl, zcat, widths):
-    """Masked K-way sum over ONE gathered concat row, split back per part."""
-    mask = tbl >= 0
-    g = zcat[jnp.maximum(tbl, 0)]  # [R, K, sum(widths)]
-    s = jnp.sum(jnp.where(mask[..., None], g, 0), axis=1)  # [R, sum]
+    """Masked K-way sum over gathered concat rows, split back per part.
+
+    K separate 2-D gathers + elementwise adds, NOT one [R, K, C] gather +
+    reduce: K is static and tiny (capped combine width), the row count is
+    identical either way (rate-bound), and the 3-D form materializes
+    [R, K, small]-minor tensors whose layouts are catastrophic at H=1
+    (XLA placed a [N, 2, 1] masked max at ~0.2 GB/s — 5 ms on a [233k]
+    vector, reddit h1 infer profile)."""
+    k = tbl.shape[1]
+    s = None
+    for j in range(k):
+        tj = tbl[:, j]
+        g = zcat[jnp.maximum(tj, 0)]  # [R, C]
+        g = jnp.where((tj >= 0)[:, None], g, 0)
+        s = g if s is None else s + g
     outs, off = [], 0
     for w in widths:
         outs.append(s[..., off:off + w])
@@ -232,29 +243,42 @@ def combine_sum(cmb, vals):
 
 
 def _merge_lse(tbl, zcat, H, widths):
-    """LSE-rescaled masked K-way sum over ONE gathered concat row
+    """LSE-rescaled masked K-way sum over gathered concat rows
     ([m | parts...]); every part width is a multiple of H (per-head
     scalars or [H, F] blocks) so the exp(m - M) scale broadcasts by
-    repetition along the concat axis."""
-    mask = tbl >= 0
-    g = zcat[jnp.maximum(tbl, 0)]  # [R, K, H + sum(widths)]
-    m_g = jnp.where(mask[..., None], g[..., :H], NEG_INF)  # [R, K, H]
-    M = jnp.max(m_g, axis=1)  # [R, H]
+    reshape along the concat axis.
+
+    Structured as K separate 2-D gathers + elementwise combines rather
+    than one [R, K, C] gather + axis-1 reductions — same gathered-row
+    count (the rate-bound cost), but no [R, K, small]-minor 3-D tensors,
+    whose layouts degenerate at H=1 (see _merge_sum)."""
+    k = tbl.shape[1]
+    R = tbl.shape[0]
+    gs, ms = [], []
+    for j in range(k):
+        tj = tbl[:, j]
+        g = zcat[jnp.maximum(tj, 0)]  # [R, H + sum]
+        gs.append((tj, g))
+        ms.append(jnp.where((tj >= 0)[:, None], g[:, :H], NEG_INF))
+    M = ms[0]
+    for mj in ms[1:]:
+        M = jnp.maximum(M, mj)
     M0 = jnp.where(is_empty_m(M), 0.0, M)
-    scale = jnp.where(is_empty_m(m_g), 0.0, jnp.exp(m_g - M0[:, None, :]))
+    scales = [jnp.where(is_empty_m(mj), 0.0, jnp.exp(mj - M0))
+              for mj in ms]
     outs, off = [], H
     for w in widths:
-        blk = g[..., off:off + w]
+        s = None
+        for (tj, g), scale in zip(gs, scales):
+            blk = g[:, off:off + w]
+            if w == H:
+                term = blk * scale
+            else:
+                term = (blk.reshape(R, H, w // H)
+                        * scale[:, :, None]).reshape(R, w)
+            s = term if s is None else s + term
         off += w
-        if w == H:
-            outs.append(jnp.sum(blk * scale, axis=1))
-        else:
-            # broadcast the [R, K, H] scale over each head's F-block via a
-            # reshape instead of jnp.repeat (repeat materializes an
-            # acc-sized scale array — pure HBM waste)
-            b4 = blk.reshape(blk.shape[0], blk.shape[1], H, w // H)
-            outs.append(jnp.sum(b4 * scale[..., None], axis=1)
-                        .reshape(blk.shape[0], w))
+        outs.append(s)
     return M0, outs
 
 

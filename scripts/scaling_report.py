@@ -47,6 +47,13 @@ def adj_rows(adj):
 
 def adj_pairheads(adj, ph):
     d = getattr(adj, "dense", None)
+    return dense_pairheads(d, ph)
+
+
+def dense_pairheads(d, ph):
+    """Candidate pair-heads of a DenseBlock (single or [P, ...]-stacked;
+    stacked shards pad to a common tile count with all-zero tiles, which
+    the kernel still sweeps — padded tiles ARE work)."""
     if d is None:
         return 0
     tiles = int(d.rc.shape[-1] if d.rc.ndim > 1 else d.rc.shape[0])
@@ -113,9 +120,8 @@ def main():
         comm_s = halo_rows * row_bytes / (ici_gbps * 1e9)
         sh_rows = (adj_rows(shards.fwd_local) + adj_rows(shards.fwd_halo)
                    + adj_rows(shards.bwd))
-        sh_ph = (adj_pairheads(shards.fwd_local, h)
-                 + adj_pairheads(shards.fwd_halo, h)
-                 + adj_pairheads(shards.bwd, h))
+        sh_ph = (dense_pairheads(shards.fwd_dense, h)
+                 + dense_pairheads(shards.bwd_dense, h))
         local_s = sh_rows / GATHER_ROWS_PER_S
         dense_s = sh_ph / DENSE_PAIRS_PER_S
         tp = max(local_s, comm_s) + dense_s
