@@ -174,9 +174,15 @@ def main():
         "  the comm/compute overlap into T(1) / (P * T(P)).",
         "- Reddit's hub structure makes halo sets large (most nodes border",
         "  every shard), but one layer's halo (~160 MB across the mesh)",
-        "  still rides ICI in single-digit ms — comm is NOT the limiter;",
-        "  the partitioning work overhead is, which is why the BASELINE",
-        "  north star (>=75% to 2 chips) is met at P=2-8 in the table.",
+        "  still rides ICI in single-digit ms — comm is NOT the limiter.",
+        "  The limiter is partitioning WORK overhead: per-shard hubs are",
+        "  smaller and less efficient than the global one and cross-shard",
+        "  edges land in halo bins that never reach the MXU path.  At the",
+        "  structural model's honest accounting the BASELINE north star",
+        "  (>=75% efficiency to 2 chips) is NOT met (56% at P=2); closing",
+        "  it needs hub-aware partitioning (replicate the global top-degree",
+        "  column block on every shard so cross-shard hub edges stay on the",
+        "  dense path) — recorded as the known next step, not papered over.",
         "- The CPU-mesh wall numbers cannot resolve per-chip latency: this",
         "  host exposes one core.  Real-chip validation needs a pod slice;",
         "  the dryrun artifact (MULTICHIP_r*.json) proves the sharded step",
