@@ -45,14 +45,15 @@ def _kern(mask_ref, hs_ref, out_ref, *, nj):
 
     @pl.when(cc == 0)
     def _():
-        out_ref[:] = jnp.full_like(out_ref, NEG)
+        out_ref[0] = jnp.full((out_ref.shape[1], out_ref.shape[2]), NEG,
+                              out_ref.dtype)
 
     def body(jj, m):
-        cand = mask_ref[:, jj][:, None] + hs_ref[jj, :][None, :]
+        cand = mask_ref[0, :, jj][:, None] + hs_ref[0, jj, :][None, :]
         return jnp.maximum(m, cand)
 
-    m = jax.lax.fori_loop(0, nj, body, out_ref[:])
-    out_ref[:] = m
+    m = jax.lax.fori_loop(0, nj, body, out_ref[0])
+    out_ref[0] = m
 
 
 def pallas_tiles(mask, hs):
@@ -78,18 +79,19 @@ def _kern2(mask_ref, hs_ref, out_ref, *, nj):
 
     @pl.when(cc == 0)
     def _():
-        out_ref[:] = jnp.full_like(out_ref, NEG)
+        out_ref[0] = jnp.full((out_ref.shape[1], out_ref.shape[2]), NEG,
+                              out_ref.dtype)
 
     def body(js, m):
-        mk = mask_ref[:, pl.dslice(js * 8, 8)]      # [PT, 8]
-        hsb = hs_ref[pl.dslice(js * 8, 8), :]       # [8, F]
+        mk = mask_ref[0, :, pl.dslice(js * 8, 8)]   # [PT, 8]
+        hsb = hs_ref[0, pl.dslice(js * 8, 8), :]    # [8, F]
         for u in range(8):
             cand = mk[:, u][:, None] + hsb[u, :][None, :]
             m = jnp.maximum(m, cand)
         return m
 
-    m = jax.lax.fori_loop(0, nj // 8, body, out_ref[:])
-    out_ref[:] = m
+    m = jax.lax.fori_loop(0, nj // 8, body, out_ref[0])
+    out_ref[0] = m
 
 
 def pallas_tiles2(mask, hs):
