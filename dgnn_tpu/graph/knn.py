@@ -37,8 +37,8 @@ def knn_graph(x: jax.Array, k: int) -> jax.Array:
 
 
 def knn_mask_neg(x: jax.Array, k: int, *, neg: float = -1e30,
-                 exact: bool = False, bisect_iters: int = 8,
-                 refine_iters: int = 5, dtype=jnp.bfloat16) -> jax.Array:
+                 exact: bool = False, bisect_iters: int = 12,
+                 refine_iters: int = 0, dtype=jnp.bfloat16) -> jax.Array:
     """Dense k-NN adjacency as an additive max-mask (TPU-native form).
 
     Returns [B, P, P] ``dtype`` (bfloat16 default — the mask is {0, neg}
@@ -58,10 +58,16 @@ def knn_mask_neg(x: jax.Array, k: int, *, neg: float = -1e30,
     than k neighbors (points inside the remaining interval, and exact
     ties).  Measured drift on benchmark-shaped clouds (P=1024, k=40,
     tests/test_cache_and_misc.py::test_knn_bisect_drift_on_modelnet_...):
-    ~1 extra admission per row mean at the defaults — down from ~22 when
-    both the bisection AND the final compare were bf16 (bf16 quantization
-    groups many near-threshold distances; round-4's "measure-zero" claim
-    was wrong on real clouds).  ``exact=True`` uses lax.top_k.
+    mean extra admissions per row: ~22 at round-4's (8 bf16 passes, bf16
+    final compare) — its "measure-zero" claim was wrong on real clouds,
+    bf16 quantization groups many near-threshold distances; ~6.2 at the
+    round-5 defaults (12 bf16 passes — the bf16 tie-group floor); ~4.7
+    with refine_iters=2 and ~1.1 with refine_iters=5 (f32 count passes
+    cost ~2x bf16 ones, ~0.35 vs 0.18 ms per layer per step at ModelNet
+    scale, so the tight settings cost ~25% of inference; a 16-ary
+    single-pass search measured 7.7x a plain pass and loses,
+    scripts/exp_r5_knn_count.py).
+    ``exact=True`` uses lax.top_k.
     """
     sq = jnp.sum(x * x, axis=-1)  # [B, P]
     inner = jnp.einsum("bpd,bqd->bpq", x, x, preferred_element_type=jnp.float32)
@@ -92,6 +98,12 @@ def knn_mask_neg(x: jax.Array, k: int, *, neg: float = -1e30,
     # threshold stays a SUPERSET bound (monotonic rounding).  The f32
     # refinement + f32 final compare remove the bf16 tie-group admissions.
     lo, hi = jax.lax.fori_loop(0, bisect_iters, body_b16, (lo, hi))
+    if refine_iters == 0:
+        # bf16-throughout: compare membership on the rounded copy too (the
+        # rounding is monotonic, so the set stays a superset of the exact
+        # k-NN); drift floor ~6 extra/row at ModelNet shape (bf16 ties)
+        return jnp.where(d2b <= hi[..., None].astype(jnp.bfloat16), 0.0,
+                         neg).astype(dtype)
     # widen by one bf16 ulp before refining in f32: the bf16-counted hi can
     # sit one rounding step below the true k-th distance, and the f32
     # bisection preserves count(d2 <= hi) >= k only if it starts true
