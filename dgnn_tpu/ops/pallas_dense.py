@@ -99,11 +99,17 @@ def _pair_base(seed_u32, dst_u32, src_u32):
 
 
 def _pair_u(base_u32, h, num_heads):
-    """Uniform in [0, 1) for head h from the pair base (pair_keep's tail)."""
+    """Uniform in [0, 1) for head h from the pair base (pair_keep's tail).
+
+    The cast goes through int32: Mosaic has no uint32 -> float32 lowering
+    (NotImplementedError on real TPU — interpret mode accepts it, so CPU
+    tests pass; caught by an end-to-end attn_drop>0 CLI run, round 5).
+    (z >> 8) < 2^24, so the int32 reinterpretation is exact."""
     import numpy as np
 
     z = _kmix32(base_u32 * np.uint32(num_heads) + np.uint32(h))
-    return (z >> 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+    return ((z >> 8).astype(jnp.int32).astype(jnp.float32)
+            * np.float32(1.0 / (1 << 24)))
 
 
 def _sched(db):
