@@ -257,11 +257,15 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
                     dense: str | tuple | None = None) -> GraphShards:
     """Build row-partitioned shards + halo plan from a COO edge list (host).
 
-    ``widths=None`` derives bin widths per DIRECTION from the global degree
-    histograms (binning.auto_widths) — shards must share one width set so
-    their bin tables stack on the mesh axis, so the choice is global, not
-    per shard (slot padding is directly wasted gather time, like
-    build_graph)."""
+    ``widths=None`` derives bin widths per DIRECTION from the combined
+    POST-DENSE residual degree histograms across all shards (shards must
+    share one width set so their bin tables stack on the mesh axis).
+    Round-5 fix: widths used to come from the FULL pre-dense global
+    histogram, whose hub rows (deg up to ~800k) forced top widths of
+    131072 — the hub edges then went to the dense block anyway and the
+    residual (deg <= ~64) padded ~3.3x inside the giant bins, the main
+    term in the measured 1.8x partitioning work overhead
+    (docs/SCALING_REPORT.md)."""
     src = np.asarray(src)
     dst = np.asarray(dst)
     if self_loops:
@@ -270,12 +274,10 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
     c = -(-num_nodes // num_shards)  # nodes per shard (padded space)
 
     row_ptr, col_ind = _build.coo_to_csr(src, dst, num_nodes)
-    if widths is None:
-        w_fwd = _binning.auto_widths(np.diff(row_ptr))
-        w_bwd = _binning.auto_widths(
-            np.bincount(col_ind, minlength=num_nodes))
-    else:
+    if widths is not None:
         w_fwd = w_bwd = tuple(widths)
+    else:
+        w_fwd = w_bwd = None  # derived from the residual degrees below
     csr_row = np.repeat(np.arange(num_nodes, dtype=np.int64),
                         np.diff(row_ptr).astype(np.int64))
     owner_dst = csr_row // c
@@ -355,28 +357,22 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
     if any(s is None for s in bsels):
         bsels = [None] * num_shards
 
-    fwd_local_b, fwd_halo_b, bwd_b, gids_b = [], [], [], []
-    fplans, bplans, fcmbs, bcmbs = [], [], [], []
+    # phase 2a: per-shard dense residuals (before binning, so the bin
+    # widths can be derived from the ACTUAL residual degrees — see the
+    # round-5 note in the docstring)
+    fres, bres, gids_b = [], [], []
+    fplans, bplans = [], []
     for p in range(num_shards):
         lptr, cols_s, loc_s, gids_s, rows_s, order_t, tptr = prims[p]
         eids = np.arange(len(cols_s), dtype=np.int64)
-
         if fsels[p] is not None:
             fplan, f_ptr, f_cols, f_keep = _hub.build_dense_numpy(
                 lptr, cols_s, fsels[p][0], fsels[p][1], fsels[p][2],
                 num_cols=ext)
             fplans.append(fplan)
-            loc_res = loc_s[f_keep]
-            fwd_local_b.append(
-                _bin_subset(f_ptr, f_cols, f_keep, loc_res, c, w_fwd))
-            fwd_halo_b.append(
-                _bin_subset(f_ptr, f_cols, f_keep, ~loc_res, c, w_fwd))
+            fres.append((f_ptr, f_cols, f_keep, loc_s[f_keep]))
         else:
-            fwd_local_b.append(
-                _bin_subset(lptr, cols_s, eids, loc_s, c, w_fwd))
-            fwd_halo_b.append(
-                _bin_subset(lptr, cols_s, eids, ~loc_s, c, w_fwd))
-
+            fres.append((lptr, cols_s, eids, loc_s))
         t_cols = rows_s[order_t].astype(np.int32)
         eids_t = eids[order_t]
         if bsels[p] is not None:
@@ -384,13 +380,29 @@ def partition_graph(src, dst, num_nodes: int, num_shards: int, *,
                 tptr, t_cols, bsels[p][0], bsels[p][1], bsels[p][2],
                 num_cols=c)
             bplans.append(bplan)
-            bwd_b.append(_binning.bin_csr(b_ptr, b_cols.astype(np.int32),
-                                          edge_ids=eids_t[b_keep],
-                                          widths=w_bwd, keep_empty=True))
+            bres.append((b_ptr, b_cols.astype(np.int32), eids_t[b_keep]))
         else:
-            bwd_b.append(_binning.bin_csr(tptr, t_cols, edge_ids=eids_t,
-                                          widths=w_bwd, keep_empty=True))
+            bres.append((tptr, t_cols, eids_t))
         gids_b.append(gids_s)
+
+    if w_fwd is None:
+        w_fwd = _binning.auto_widths(
+            np.concatenate([np.diff(r[0]) for r in fres]))
+        w_bwd = _binning.auto_widths(
+            np.concatenate([np.diff(r[0]) for r in bres]))
+
+    # phase 2b: bin every shard with the common residual-derived widths
+    fwd_local_b, fwd_halo_b, bwd_b = [], [], []
+    fcmbs, bcmbs = [], []
+    for p in range(num_shards):
+        f_ptr, f_cols, f_eids, loc_res = fres[p]
+        fwd_local_b.append(
+            _bin_subset(f_ptr, f_cols, f_eids, loc_res, c, w_fwd))
+        fwd_halo_b.append(
+            _bin_subset(f_ptr, f_cols, f_eids, ~loc_res, c, w_fwd))
+        b_ptr, b_cols, b_eids = bres[p]
+        bwd_b.append(_binning.bin_csr(b_ptr, b_cols, edge_ids=b_eids,
+                                      widths=w_bwd, keep_empty=True))
 
     # combine tables index the STACKED (cross-shard padded) partial layout
     def _targets(bsets):
