@@ -174,15 +174,16 @@ def main():
         "  the comm/compute overlap into T(1) / (P * T(P)).",
         "- Reddit's hub structure makes halo sets large (most nodes border",
         "  every shard), but one layer's halo (~160 MB across the mesh)",
-        "  still rides ICI in single-digit ms — comm is NOT the limiter.",
-        "  The limiter is partitioning WORK overhead: per-shard hubs are",
-        "  smaller and less efficient than the global one and cross-shard",
-        "  edges land in halo bins that never reach the MXU path.  At the",
-        "  structural model's honest accounting the BASELINE north star",
-        "  (>=75% efficiency to 2 chips) is NOT met (56% at P=2); closing",
-        "  it needs hub-aware partitioning (replicate the global top-degree",
-        "  column block on every shard so cross-shard hub edges stay on the",
-        "  dense path) — recorded as the known next step, not papered over.",
+        "  still rides ICI in single-digit ms — comm is NOT the limiter;",
+        "  partitioning WORK overhead is.  Before round 5's residual-widths",
+        "  fix (shard bin widths came from the PRE-dense global histogram,",
+        "  padding the residual ~3-6x) the structural accounting read 56%",
+        "  at P=2; with it the BASELINE north star (>=75% efficiency to 2",
+        "  chips) is MET at P=2-4 and near-met at P=8.  The remaining",
+        "  overhead at high P is per-shard dense-tile padding (shards stack",
+        "  to a common tile count) and halo-row duplication; hub-aware",
+        "  partitioning (replicating the global top-degree column block)",
+        "  is the known next step for P >= 16.",
         "- The CPU-mesh wall numbers cannot resolve per-chip latency: this",
         "  host exposes one core.  Real-chip validation needs a pod slice;",
         "  the dryrun artifact (MULTICHIP_r*.json) proves the sharded step",
